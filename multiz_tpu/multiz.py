@@ -1,0 +1,209 @@
+"""multiz: combine two reference-topped, sorted, single-coverage blocksets.
+
+Port of the merge scan in multiz.c:60-177 plus the per-chromosome driver
+(multiz.c:259-285). Output interleaving (merged blocks to ``out``, unused
+pieces to ``out1``/``out2`` which may alias ``out``) is preserved exactly
+for byte-equality with the reference.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List, Optional
+
+from . import scores as sc
+from .blocks import keep_ali, make_part_ali_col, separate_by_src
+from .maf import Ali, pos2col, write_ali
+from .preyama import pre_yama
+from .yama import yama_numpy
+
+
+@dataclass
+class MultizConfig:
+    radius: int = 30  # R=, multi_util.c:13
+    min_output_wid: int = 1  # M=, multi_util.c:14
+    lrg_break_wid: int = 20  # L=, accepted but unused (multiz.c:100-115 dead)
+    sml_break_wid: int = 2  # S=, accepted but unused
+    row2: int = 0  # always 0 in v11.2 (multi_util.c:24; 'all' also sets 0)
+    dp_fn: Callable = yama_numpy
+
+
+class _Writer:
+    """Emission helper honoring the row2 / MIN_OUTPUT_WID rules."""
+
+    def __init__(self, fh, cfg: MultizConfig):
+        self.fh = fh
+        self.cfg = cfg
+
+    def write_block(self, a: Optional[Ali], min_wid_check: bool = True):
+        """mafWrite gated as in multiz.c:70-77 (flush path)."""
+        if a is None or self.fh is None:
+            return
+        if min_wid_check and a.comps[0].size < self.cfg.min_output_wid:
+            return
+        if self.cfg.row2 == 0 or len(a.comps) > 1:
+            write_ali(self.fh, a)
+
+    def write_part(self, a: Optional[Ali]):
+        """print_part_ali_col's write rule (multi_util.c:620-629): row2
+        check only, no MIN_OUTPUT_WID."""
+        if a is None or self.fh is None:
+            return
+        if self.cfg.row2 == 0 or len(a.comps) > 1:
+            write_ali(self.fh, a)
+
+
+def multiz_scan(
+    wk1: List[Ali],
+    wk2: List[Ali],
+    out: "file",
+    w1: _Writer,
+    w2: _Writer,
+    v: int,
+    cfg: MultizConfig,
+    sp: sc.ScoreParams | None = None,
+) -> None:
+    """The two-pointer merge scan (multiz.c:60-177)."""
+    i1 = i2 = 0
+
+    def pop1():
+        nonlocal i1
+        if i1 >= len(wk1):
+            return None
+        a = wk1[i1]
+        i1 += 1
+        return a
+
+    def pop2():
+        nonlocal i2
+        if i2 >= len(wk2):
+            return None
+        a = wk2[i2]
+        i2 += 1
+        return a
+
+    a1 = pop1()
+    a2 = pop2()
+    while True:
+        while a1 is not None and (
+            a2 is None or a1.comps[0].end - 1 < a2.comps[0].start
+        ):
+            w1.write_block(a1)
+            a1 = pop1()
+        while a2 is not None and (
+            a1 is None or a2.comps[0].end - 1 < a1.comps[0].start
+        ):
+            w2.write_block(a2)
+            a2 = pop2()
+        if a1 is None and a2 is None:
+            break
+        if a1 is None or a2 is None:
+            continue
+        if a1.comps[0].end - 1 < a2.comps[0].start:
+            continue
+        if a2.comps[0].end - 1 < a1.comps[0].start:
+            continue
+
+        beg1 = a1.comps[0].start
+        end1 = a1.comps[0].end - 1
+        beg2 = a2.comps[0].start
+        end2 = a2.comps[0].end - 1
+
+        # uncovered front flank (multiz.c:117-133)
+        if beg1 < beg2 and beg2 - beg1 >= cfg.min_output_wid and w1.fh:
+            cb = pos2col(a1.comps[0], beg1)
+            t = a1.comps[0].text
+            while cb > 0 and t[cb - 1] == ord("-"):
+                cb -= 1
+            ce = pos2col(a1.comps[0], beg2 - 1)
+            while ce < a1.text_size - 1 and t[ce + 1] == ord("-"):
+                ce += 1
+            w1.write_part(make_part_ali_col(a1, cb, ce, sp=sp))
+        elif beg2 < beg1 and beg1 - beg2 >= cfg.min_output_wid and w2.fh:
+            cb = pos2col(a2.comps[0], beg2)
+            t = a2.comps[0].text
+            while cb > 0 and t[cb - 1] == ord("-"):
+                cb -= 1
+            ce = pos2col(a2.comps[0], beg1 - 1)
+            while ce < a2.text_size - 1 and t[ce + 1] == ord("-"):
+                ce += 1
+            w2.write_part(make_part_ali_col(a2, cb, ce, sp=sp))
+
+        beg = max(beg1, beg2)
+        end = min(end1, end2)
+
+        # leading gap columns before the first base (multiz.c:139-148)
+        if beg == beg1:
+            cb = pos2col(a1.comps[0], beg1)
+            if cb != 0 and w1.fh:
+                w1.write_part(make_part_ali_col(a1, 0, cb - 1, sp=sp))
+        if beg == beg2:
+            cb = pos2col(a2.comps[0], beg2)
+            if cb != 0 and w2.fh:
+                w2.write_part(make_part_ali_col(a2, 0, cb - 1, sp=sp))
+
+        new_ali = pre_yama(
+            a1, a2, beg, end, cfg.radius, v,
+            unused2_sink=w2.write_part, sp=sp, dp_fn=cfg.dp_fn,
+        )
+        if (
+            new_ali is not None
+            and new_ali.comps[0].size >= cfg.min_output_wid
+        ):
+            write_ali(out, new_ali)
+
+        if end1 < end2:
+            a2 = keep_ali(a2, end1 + 1, sp=sp)
+        if end2 < end1:
+            a1 = keep_ali(a1, end2 + 1, sp=sp)
+
+        if end1 <= end2:
+            ce = pos2col(a1.comps[0], end1)
+            if ce < a1.text_size - 1 and w1.fh:
+                w1.write_part(
+                    make_part_ali_col(a1, ce + 1, a1.text_size - 1, sp=sp)
+                )
+            a1 = pop1()
+        if end2 <= end1:
+            ce = pos2col(a2.comps[0], end2)
+            if ce < a2.text_size - 1 and w2.fh:
+                w2.write_part(
+                    make_part_ali_col(a2, ce + 1, a2.text_size - 1, sp=sp)
+                )
+            a2 = pop2()
+
+
+def multiz(
+    list1: List[Ali],
+    list2: List[Ali],
+    v: int,
+    out,
+    out1=None,
+    out2=None,
+    cfg: MultizConfig | None = None,
+    sp: sc.ScoreParams | None = None,
+) -> None:
+    """Per-chromosome driver (multiz.c:259-285). ``out1``/``out2`` default
+    to ``out`` (the argc==4 path where everything interleaves on stdout)."""
+    if cfg is None:
+        cfg = MultizConfig()
+    if out1 is None:
+        out1 = out
+    if out2 is None:
+        out2 = out
+    w1 = _Writer(out1, cfg)
+    w2 = _Writer(out2, cfg)
+    cp1, cp2 = list(list1), list(list2)
+    while cp1 and cp2:
+        chrom = cp1[0].comps[0].src
+        cp1, wk1 = separate_by_src(cp1, chrom)
+        cp2, wk2 = separate_by_src(cp2, chrom)
+        multiz_scan(wk1, wk2, out, w1, w2, v, cfg, sp=sp)
+    # leftovers when one side ran out of chromosomes (multiz.c:277-285):
+    # row2 rule applies but MIN_OUTPUT_WID does not
+    for a in cp1:
+        if out1 is not None and (cfg.row2 == 0 or len(a.comps) > 1):
+            write_ali(out1, a)
+    for a in cp2:
+        if out2 is not None and (cfg.row2 == 0 or len(a.comps) > 1):
+            write_ali(out2, a)

@@ -1,0 +1,269 @@
+"""pre_yama: slice overlapping blocks, build the DP band, run yama, rebuild.
+
+Port of mz_preyama.c with vectorized band construction. Two reference
+quirks are reproduced deterministically because they affect byte-equality
+of multiz v=0 output (both are out-of-bounds reads that are stable under
+glibc/x86-64, observed by differential testing against the built reference):
+
+  * ``mapping(A, 1, K, ...)`` (mz_preyama.c:279) scans rows 1..K of columns
+    that only have rows 0..K-1: the dash test effectively uses rows 1..K-1
+    of column i plus row 0 of column i+1; for the last column the
+    past-the-end byte is heap garbage, overwhelmingly non-dash.
+  * the a2-side band walk (mz_preyama.c:320) evaluates ``map4[map2[i]]``
+    before checking ``map2[i] == -1``; ``map4[-1]`` reads the high half of
+    the glibc chunk size field, which is 0 for any real allocation, so the
+    walk scatters 0 into LB/RB at ref-only columns.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+from . import scores as sc
+from .maf import Ali, Comp, DASH, pos2col
+from .yama import yama_numpy
+
+DPFn = Callable[..., np.ndarray]
+
+
+def smooth(LB: np.ndarray, RB: np.ndarray, M: int, N: int, radius: int):
+    """Monotonize band bounds, then dilate into a radius-R sausage
+    (mz_preyama.c:17-35). Vectorized; returns new arrays."""
+    LB = np.maximum.accumulate(LB[: M + 1].astype(np.int64))
+    RB = np.minimum.accumulate(
+        np.minimum(RB[: M + 1].astype(np.int64), N)[::-1]
+    )[::-1]
+    radi = min(M, radius)
+    L2 = LB.copy()
+    if M > radi:
+        idx = np.arange(radi + 1, M + 1)
+        L2[idx] = np.minimum(np.maximum(LB[idx] - radi, 0), LB[idx - radi])
+    L2[: radi + 1] = 0
+    R2 = RB.copy()
+    if M > radi:
+        idx = np.arange(0, M - radi)
+        R2[idx] = np.maximum(np.minimum(RB[idx] + radi, N), RB[idx + radi])
+    R2[max(M - radi, 0) :] = N
+    return L2, R2
+
+
+def rm_col_dash(X: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Drop all-dash columns of column-major X (ncol, nrow)
+    (mz_preyama.c:87-108). Returns (newX, map_) where map_ is 1-indexed:
+    map_[old_col] = new_col or -1."""
+    ncol = X.shape[0]
+    keep = (X != DASH).any(axis=1)
+    map_ = np.full(ncol + 1, -1, dtype=np.int64)
+    map_[1:][keep] = np.arange(1, int(keep.sum()) + 1)
+    return X[keep], map_
+
+
+def mapping_pairs(alldash_a: np.ndarray, alldash_b: np.ndarray) -> np.ndarray:
+    """mapping (mz_preyama.c:111-148): pair the t-th non-all-dash column of
+    A with the t-th of B. ``alldash_*`` are boolean arrays over 1..ncol
+    (index 0 unused). Returns map_ with map_[a_col] = b_col or -1."""
+    na = alldash_a.shape[0] - 1
+    map_ = np.full(na + 1, -1, dtype=np.int64)
+    ia = np.flatnonzero(~alldash_a[1:]) + 1
+    ib = np.flatnonzero(~alldash_b[1:]) + 1
+    n = min(ia.shape[0], ib.shape[0])
+    map_[ia[:n]] = ib[:n]
+    return map_
+
+
+def _alldash(X: np.ndarray, row_lo: int, row_hi: int) -> np.ndarray:
+    """1-indexed all-dash flags of columns of X over rows [row_lo, row_hi)."""
+    ncol = X.shape[0]
+    out = np.zeros(ncol + 1, dtype=bool)
+    out[1:] = (X[:, row_lo:row_hi] == DASH).all(axis=1)
+    return out
+
+
+def _alldash_shifted(X: np.ndarray) -> np.ndarray:
+    """A-side quirk of mapping(A, 1, K, ...): dash over rows 1..K-1 of
+    column i AND row 0 of column i+1 (past-the-end byte of the last column
+    treated as non-dash)."""
+    ncol, K = X.shape
+    out = np.zeros(ncol + 1, dtype=bool)
+    core = (X[:, 1:K] == DASH).all(axis=1)  # rows 1..K-1 (vacuous for K==1)
+    nxt = np.zeros(ncol, dtype=bool)
+    if ncol > 1:
+        nxt[:-1] = X[1:, 0] == DASH
+    nxt[-1] = False  # heap garbage: non-dash
+    out[1:] = core & nxt
+    return out
+
+
+def maf_build(
+    A_new: np.ndarray,
+    a2: Ali,
+    cbeg2: int,
+    a3: Ali,
+    cbeg3: int,
+    top: int,
+    sp: sc.ScoreParams | None = None,
+) -> Optional[Ali]:
+    """Reconstitute an Ali from the merged column matrix (mz_preyama.c:38-81).
+
+    Template rows: all of a2's comps, then a3's comps (skipping a3's first
+    when top == 0)."""
+    ncol, nrow = A_new.shape
+    templates: List[Tuple[Comp, int]] = [(c, cbeg2) for c in a2.comps]
+    extra = a3.comps[1:] if top == 0 else a3.comps
+    templates += [(c, cbeg3) for c in extra]
+    out = Ali()
+    for i in range(nrow):
+        d, beg = templates[i]
+        text = A_new[:, i].copy()
+        size = int(np.count_nonzero(text != DASH))
+        if size == 0:
+            continue
+        nc = d.copy(text=text)
+        nc.start = d.start + int(np.count_nonzero(d.text[:beg] != DASH))
+        nc.size = size
+        out.comps.append(nc)
+    if not out.comps:
+        return None
+    out.score = sc.score_range(out, 0, ncol, sp=sp)
+    return out
+
+
+def pre_yama(
+    a1: Ali,
+    a2: Ali,
+    beg: int,
+    end: int,
+    radius: int,
+    v: int,
+    unused2_sink=None,
+    sp: sc.ScoreParams | None = None,
+    dp_fn: DPFn = yama_numpy,
+) -> Optional[Ali]:
+    """pre_yama (mz_preyama.c:152-359).
+
+    v == 1: a1's reference row is fixed; single DP merging a1 (all rows)
+    with a2's non-ref rows. v == 0: neither fixed; first DP aligns the
+    non-ref rows of both, second DP re-aligns the bare reference against
+    the merged block.
+
+    ``unused2_sink(ali)`` receives a2's slice when a1 contributes no rows
+    (K == 0, mz_preyama.c:193-200)."""
+    K = len(a1.comps)
+    L = len(a2.comps) - 1
+
+    top1, top2 = a1.comps[0], a2.comps[0]
+    cbeg1 = pos2col(top1, beg)
+    cend1 = pos2col(top1, end)
+    cbeg2 = pos2col(top2, beg)
+    cend2 = pos2col(top2, end)
+    M = cend1 - cbeg1 + 1
+    N = cend2 - cbeg2 + 1
+
+    # column-major slices
+    B_full = np.stack(
+        [c.text[cbeg2 : cend2 + 1] for c in a2.comps[1:]], axis=1
+    )  # (N, L)
+    N_cp = N
+    B, map2 = rm_col_dash(B_full)
+    N = B.shape[0]
+    if N < 1:
+        return None
+
+    if v == 0:
+        K -= 1
+    if K == 0:
+        if unused2_sink is not None:
+            from .blocks import make_part_ali_col
+
+            part = make_part_ali_col(a2, cbeg2, cend2, sp=sp)
+            unused2_sink(part)
+        return None
+
+    rows1 = a1.comps[1:] if v == 0 else a1.comps
+    A_full = np.stack(
+        [c.text[cbeg1 : cend1 + 1] for c in rows1], axis=1
+    )  # (M, K)
+    M_cp = M
+    if v == 0:
+        A, map1 = rm_col_dash(A_full)
+        M = A.shape[0]
+        if M < 1:
+            return None
+    else:
+        A = A_full
+        map1 = np.arange(M + 1, dtype=np.int64)
+
+    # band from the lockstep walk of the two reference rows
+    # (mz_preyama.c:240-258): the t-th non-dash of top1's slice pairs with
+    # the t-th non-dash of top2's slice; scatter through map1/map2.
+    LB = np.zeros(M + 1, dtype=np.int64)
+    RB = np.full(M + 1, N, dtype=np.int64)
+    i_cols = np.flatnonzero(top1.text[cbeg1 : cend1 + 1] != DASH) + 1
+    j_cols = np.flatnonzero(top2.text[cbeg2 : cend2 + 1] != DASH) + 1
+    n = min(i_cols.shape[0], j_cols.shape[0])
+    curr1 = map1[i_cols[:n]]
+    curr2 = map2[j_cols[:n]]
+    valid = (curr1 != -1) & (curr2 != -1)
+    LB[curr1[valid]] = curr2[valid]
+    RB[curr1[valid]] = curr2[valid]
+    LB, RB = smooth(LB, RB, M, N, radius)
+
+    AL_new = dp_fn(A, B, LB, RB, sp=sp)
+    M_new = AL_new.shape[0]
+
+    if v == 1:
+        return maf_build(AL_new, a1, cbeg1, a2, cbeg2, 0, sp=sp)
+
+    # ---- v == 0: second DP of the bare reference vs the merged block ----
+    A2 = top1.text[cbeg1 : cend1 + 1].reshape(-1, 1)  # (M_cp, 1)
+    A2r, map3 = rm_col_dash(A2)
+    M3 = A2r.shape[0]
+
+    # mapping A -> AL_new with the reference's shifted row window (quirk 1)
+    map4 = mapping_pairs(
+        _alldash_shifted(A), _alldash(AL_new, 0, K - 1 + 1)
+    )
+    LB2 = np.zeros(M3 + 1, dtype=np.int64)
+    RB2 = np.full(M3 + 1, M_new, dtype=np.int64)
+    idx = np.arange(1, M_cp + 1)
+    t1 = map3[idx]
+    m1 = map1[idx]
+    ok = (m1 != -1)
+    t2 = np.where(ok, map4[np.where(ok, m1, 1)], -1)
+    good = (t1 != -1) & (t2 != -1) & ok
+    # scatter honoring the C update rule; map3 injective => one writer/slot
+    LB2[t1[good]] = np.where(
+        (LB2[t1[good]] == 0) | (LB2[t1[good]] > t2[good]), t2[good],
+        LB2[t1[good]],
+    )
+    RB2[t1[good]] = t2[good]
+    LB2, RB2 = smooth(LB2, RB2, M3, M_new, radius)
+
+    B2 = top2.text[cbeg2 : cend2 + 1].reshape(-1, 1)
+    B2r, map3b = rm_col_dash(B2)
+    N3 = B2r.shape[0]
+    map4b = mapping_pairs(
+        _alldash(B, 0, L), _alldash(AL_new, K, K + L)
+    )
+    LBb = np.zeros(N3 + 1, dtype=np.int64)
+    RBb = np.full(N3 + 1, M_new, dtype=np.int64)
+    idx = np.arange(1, N_cp + 1)
+    t1 = map3b[idx]
+    m2 = map2[idx]
+    # quirk 2: map4[-1] reads as 0 (no -1 guard on map2 in the C)
+    t2 = np.where(m2 != -1, map4b[np.where(m2 != -1, m2, 1)], 0)
+    good = (t1 != -1) & (t2 != -1)
+    tg, vg = t1[good], t2[good]
+    LBb[tg] = np.where((LBb[tg] == 0) | (LBb[tg] > vg), vg, LBb[tg])
+    RBb[tg] = np.where((RBb[tg] == M_new) | (RBb[tg] < vg), vg, RBb[tg])
+    LBb, RBb = smooth(LBb, RBb, N3, M_new, radius)
+
+    if M3 != N3:
+        raise ValueError("M3 != N3 in pre_yama v==0")
+    LBf = np.minimum(LBb, LB2)
+    RBf = np.maximum(RBb, RB2)
+
+    AL_new2 = dp_fn(A2r, AL_new, LBf, RBf, sp=sp)
+    return maf_build(AL_new2, a1, cbeg1, a2, cbeg2, 0, sp=sp)

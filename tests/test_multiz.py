@@ -1,0 +1,49 @@
+"""multiz end-to-end vs reference goldens (byte-exact)."""
+
+import io
+import os
+
+import pytest
+
+from multiz_tpu.cli import multiz as cli
+
+from .conftest import GOLDEN
+
+DATA = os.path.join(GOLDEN, "data")
+EXPECT = os.path.join(GOLDEN, "expect")
+F1 = os.path.join(DATA, "human.chimp.sing.maf")
+F2 = os.path.join(DATA, "human.mouse.sing.maf")
+
+
+def run_cli(argv):
+    out = io.StringIO()
+    cli.main(argv, out=out)
+    return out.getvalue()
+
+
+def read(path):
+    with open(path) as fh:
+        return fh.read()
+
+
+def strip_argline(text: str) -> str:
+    return "\n".join(
+        l for l in text.split("\n") if not l.startswith("# multiz.v")
+    )
+
+
+@pytest.mark.parametrize("v", [0, 1])
+def test_multiz_interleaved(v):
+    got = run_cli([F1, F2, str(v)])
+    want = read(os.path.join(EXPECT, f"multiz_v{v}.maf"))
+    assert got == want  # byte-identical incl. comment echo and arg line
+
+
+def test_multiz_separate_outputs(tmp_path):
+    u1 = str(tmp_path / "u1.maf")
+    u2 = str(tmp_path / "u2.maf")
+    got = run_cli([F1, F2, "1", u1, u2])
+    want = read(os.path.join(EXPECT, "multiz_v1_main.maf"))
+    assert strip_argline(got) == strip_argline(want)
+    assert read(u1) == read(os.path.join(EXPECT, "multiz_v1_u1.maf"))
+    assert read(u2) == read(os.path.join(EXPECT, "multiz_v1_u2.maf"))
