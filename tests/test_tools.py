@@ -1,0 +1,77 @@
+"""Pairwise front-end tools vs reference goldens."""
+
+import io
+import os
+
+import pytest
+
+from multiz_tpu.cli import (
+    get_covered as cli_gc,
+    maf_order as cli_mo,
+    maf_sort as cli_ms,
+    pair2tb as cli_p2,
+    single_cov2 as cli_sc,
+)
+
+from .conftest import GOLDEN
+
+DATA = os.path.join(GOLDEN, "data")
+EXPECT = os.path.join(GOLDEN, "expect")
+
+
+def read(path):
+    with open(path) as fh:
+        return fh.read()
+
+
+def strip_args(text, prefix="# single_cov2"):
+    return "\n".join(
+        l for l in text.split("\n") if not l.startswith(prefix)
+    )
+
+
+@pytest.mark.parametrize("sp", ["chimp", "mouse", "rat"])
+@pytest.mark.parametrize("mode", ["", "R=human"])
+def test_single_cov2(sp, mode):
+    out, err = io.StringIO(), io.StringIO()
+    argv = [os.path.join(DATA, f"human.{sp}.orig.maf")] + (
+        [mode] if mode else []
+    )
+    cli_sc.main(argv, out=out, err=err)
+    suffix = "singR" if mode else "sing"
+    want = read(os.path.join(EXPECT, f"human.{sp}.{suffix}.maf"))
+    assert strip_args(out.getvalue()) == strip_args(want)
+
+
+def test_maf_sort():
+    out = io.StringIO()
+    cli_ms.main([os.path.join(DATA, "human.mouse.sing.maf"), "mouse"], out=out)
+    assert out.getvalue() == read(os.path.join(EXPECT, "mouse_sorted.maf"))
+
+
+def test_maf_order():
+    out = io.StringIO()
+    cli_mo.main(
+        [os.path.join(DATA, "human.mouse.sing.maf"), "mouse", "human", "all"],
+        out=out,
+    )
+    assert out.getvalue() == read(os.path.join(EXPECT, "mouse_ordered.maf"))
+
+
+def test_get_covered():
+    out = io.StringIO()
+    cli_gc.main(
+        [
+            os.path.join(DATA, "human.chimp.sing.maf"),
+            os.path.join(DATA, "human.mouse.sing.maf"),
+        ],
+        out=out,
+    )
+    assert out.getvalue() == read(os.path.join(EXPECT, "get_covered.maf"))
+
+
+def test_pair2tb(monkeypatch):
+    monkeypatch.chdir(DATA)
+    out = io.StringIO()
+    cli_p2.main(["human.chimp.sing.maf", "human", "chimp"], out=out)
+    assert out.getvalue() == read(os.path.join(EXPECT, "pair2tb.maf"))
