@@ -29,10 +29,13 @@ class MultizConfig:
 
 
 class _Writer:
-    """Emission helper honoring the row2 / MIN_OUTPUT_WID rules."""
+    """Emission helper honoring the row2 / MIN_OUTPUT_WID rules.
 
-    def __init__(self, fh, cfg: MultizConfig):
-        self.fh = fh
+    ``sink`` is a callable receiving Ali blocks (or None when the output is
+    discarded, the C's fpw == NULL)."""
+
+    def __init__(self, sink, cfg: MultizConfig):
+        self.fh = sink  # truthiness stands in for `fpw != NULL`
         self.cfg = cfg
 
     def write_block(self, a: Optional[Ali], min_wid_check: bool = True):
@@ -42,7 +45,7 @@ class _Writer:
         if min_wid_check and a.comps[0].size < self.cfg.min_output_wid:
             return
         if self.cfg.row2 == 0 or len(a.comps) > 1:
-            write_ali(self.fh, a)
+            self.fh(a)
 
     def write_part(self, a: Optional[Ali]):
         """print_part_ali_col's write rule (multi_util.c:620-629): row2
@@ -50,13 +53,13 @@ class _Writer:
         if a is None or self.fh is None:
             return
         if self.cfg.row2 == 0 or len(a.comps) > 1:
-            write_ali(self.fh, a)
+            self.fh(a)
 
 
 def multiz_scan(
     wk1: List[Ali],
     wk2: List[Ali],
-    out: "file",
+    out,
     w1: _Writer,
     w2: _Writer,
     v: int,
@@ -150,7 +153,7 @@ def multiz_scan(
             new_ali is not None
             and new_ali.comps[0].size >= cfg.min_output_wid
         ):
-            write_ali(out, new_ali)
+            out(new_ali)
 
         if end1 < end2:
             a2 = keep_ali(a2, end1 + 1, sp=sp)
@@ -183,14 +186,14 @@ def multiz(
     cfg: MultizConfig | None = None,
     sp: sc.ScoreParams | None = None,
 ) -> None:
-    """Per-chromosome driver (multiz.c:259-285). ``out1``/``out2`` default
-    to ``out`` (the argc==4 path where everything interleaves on stdout)."""
+    """Per-chromosome driver (multiz.c:259-285). ``out``/``out1``/``out2``
+    are streams or Ali sinks; ``out1``/``out2`` default to ``out`` (the
+    argc==4 path where everything interleaves on stdout)."""
     if cfg is None:
         cfg = MultizConfig()
-    if out1 is None:
-        out1 = out
-    if out2 is None:
-        out2 = out
+    out = _as_sink(out)
+    out1 = _as_sink(out1) if out1 is not None else out
+    out2 = _as_sink(out2) if out2 is not None else out
     w1 = _Writer(out1, cfg)
     w2 = _Writer(out2, cfg)
     cp1, cp2 = list(list1), list(list2)
@@ -203,7 +206,14 @@ def multiz(
     # row2 rule applies but MIN_OUTPUT_WID does not
     for a in cp1:
         if out1 is not None and (cfg.row2 == 0 or len(a.comps) > 1):
-            write_ali(out1, a)
+            out1(a)
     for a in cp2:
         if out2 is not None and (cfg.row2 == 0 or len(a.comps) > 1):
-            write_ali(out2, a)
+            out2(a)
+
+
+def _as_sink(out):
+    """Accept a text stream or an Ali-callable."""
+    if out is None or callable(out):
+        return out
+    return lambda a: write_ali(out, a)
