@@ -1,29 +1,41 @@
-"""Jitted/batched yama DP for TPU execution.
+"""Jitted/batched yama DP for TPU execution — band-local formulation.
 
-The recurrence (mz_yama.c:97-254) has three per-cell nodes:
-  D depends on the previous row, C on the previous row's diagonal, and I on
-  the previous column of the same row. Rows are therefore computed as full
-  vectors (one ``lax.scan`` step per row); the in-row I chain
-  ``I[c] = prefmax(x[c], y[c], I[c-1] - z[c]) - e[c]`` is solved exactly in
-  parallel with a prefix-max transform: with P[c] = sum_{lb<k<=c}(z[k]+e[k])
-  and V[c] = max_pref(x,y)[c] - e[c] + P[c], W[c] = I[c] + P[c] satisfies
-  W[c] = max(V[c], W[c-1]) — a cummax. The C/D/I tie-breaking preference
-  (mz_yama.c:138-154) is recovered exactly from (V, W_prev, x<y) in integer
-  arithmetic.
+The recurrence (mz_yama.c:97-254) has three per-cell nodes: D depends on
+the previous row, C on the previous row's diagonal, and I on the previous
+column of the same row. Rows are computed as vectors (one ``lax.scan``
+step per row); the in-row I chain
+``I[c] = prefmax(x[c], y[c], I[c-1] - z[c]) - e[c]`` is solved exactly in
+parallel with a prefix-max transform: with P[c] = sum_{lb<k<=c}(z[k]+e[k])
+and V[c] = max_pref(x,y)[c] - e[c] + P[c], W[c] = I[c] + P[c] satisfies
+W[c] = max(V[c], W[c-1]) — a cummax. The C/D/I tie-breaking preference
+(mz_yama.c:138-154) is recovered exactly from (V, W_prev, x<y) in integer
+arithmetic.
 
-All arithmetic is int32, matching the C's ``int``. The chain's P offsets
-add at most band_width * (gap_open + gap_extend) * K * L to cell values;
-for multiz workloads (local-alignment blocks, N <= ~10^4, K*L <= ~10^2)
-that stays around 2^28, far from int32 overflow. (int64 on TPU is emulated
-and spills VMEM, so it is deliberately avoided.) Outputs are the packed
-traceback flags (uint8) and the final C/D/I scores; traceback runs on host
-(or in the native helper).
+**Band-local storage.** The reference walks a radius-30 sausage around the
+guide path (mz_preyama.c:17-35), so the live band is ~60-70 columns while
+the full row can be thousands. The device state is therefore a W-wide
+window (W = 128 typically, a single VPU lane row) anchored at LB[row]:
+between rows the window is re-aligned by a dynamic slice of the previous
+carry padded with MININT. This is *exact*, not an approximation: with
+monotone LB/RB (checked at entry, mz_yama.c:58-71) every dp cell the C
+code reads outside the previous row's band was never written and still
+holds MININT — cells right of RB[row-1] were never reached (RB monotone),
+and the diagonal read at col==LB[row] is either inside the previous band
+or explicitly killed to MININT (mz_yama.c:101-106). Per-row B-side
+statistics enter via W-wide dynamic slices of the full column-stats
+arrays.
+
+All arithmetic is int32, matching the C's ``int``; the prefix-max offsets
+stay far from overflow now that they accumulate over at most W columns.
+Traceback also runs on device over the (m_pad+1, W) local flag matrix
+(flags outside the band read as 0, exactly like the zero-initialized full
+matrix in the host oracle); only the (m_pad+n_pad)-byte edit scripts
+travel back to host.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import numpy as np
 
@@ -37,10 +49,8 @@ from ..yama import (
     FLAG_D,
     FLAG_I,
     MININT,
-    ColStats,
     _check_band,
     column_stats,
-    traceback,
     _replay,
 )
 
@@ -49,53 +59,81 @@ from ..yama import (
 NEG_HUGE = jnp.int32(-(2**30) - (2**29))
 
 
+def _window(prev, start, W):
+    """prev_abs[start + j] for j in [0, W): dynamic slice of prev padded
+    with one leading and W trailing MININTs. start==-1 yields MININT at
+    j==0 (the killed diagonal); starts beyond the band clamp into the
+    MININT fill."""
+    padded = jnp.concatenate(
+        [jnp.full(1, MININT, jnp.int32), prev, jnp.full(W, MININT, jnp.int32)]
+    )
+    return lax.dynamic_slice(padded, (start + 1,), (W,))
+
+
 def _yama_core(
     histA,  # (m_pad+1, 6) int32
     a0, a1,  # (m_pad+1,) int32 non-dash / dash counts of A columns
     pa,  # (m_pad+1, 4) int32 pair counts
-    histB,  # (n_pad+1, 6) int32
-    b0, b1,  # (n_pad+1,)
-    pb,  # (n_pad+1, 4)
+    histB,  # (n_pad+W, 6) int32 (padded for W-wide slicing)
+    b0, b1,  # (n_pad+W,)
+    pb,  # (n_pad+W, 4)
     LB, RB,  # (m_pad+1,) int32
     M, N,  # scalars int32 (actual sizes)
     K, L,  # scalars int32 (row counts; arithmetic only)
     ss_cat,  # (6, 6) int32
-    go: int, ge: int, m_pad: int, n_pad: int,
+    go: int, ge: int, m_pad: int, n_pad: int, W: int,
 ):
-    cols = jnp.arange(n_pad + 1, dtype=jnp.int32)
+    js = jnp.arange(W, dtype=jnp.int32)
 
-    # ---- row 0 init (mz_yama.c:82-94) ----
-    dpC = jnp.full(n_pad + 1, MININT, jnp.int32).at[0].set(0)
+    sub_right = histB.astype(jnp.int32) @ ss_cat.T  # (n_pad+W, 6)
+
+    # ---- row 0 init (mz_yama.c:82-94); window base LB[0] == 0 ----
+    dpC = jnp.full(W, MININT, jnp.int32).at[0].set(0)
     dpD = dpC
     r0 = RB[0]
-    chain0 = (cols >= 1) & (cols <= r0)
-    i0 = -jnp.cumsum(jnp.where(chain0, b0, 0)) * K * ge
-    dpI = jnp.where(chain0, i0, jnp.where(cols == 0, 0, MININT)).astype(
+    b0w0 = lax.dynamic_slice(b0, (0,), (W,))
+    chain0 = (js >= 1) & (js <= r0)
+    i0 = -jnp.cumsum(jnp.where(chain0, b0w0, 0)) * K * ge
+    dpI = jnp.where(chain0, i0, jnp.where(js == 0, 0, MININT)).astype(
         jnp.int32
     )
     flags0 = jnp.where(chain0, jnp.uint8(FLAG_I << 4), jnp.uint8(0))
-
-    sub_right = histB.astype(jnp.int32) @ ss_cat.T  # (n_pad+1, 6)
 
     def row_step(carry, xs):
         dpC, dpD, dpI = carry
         (row, lb, lbm1, lbm2, rb, ha, a0r, a1r, par) = xs
         row_valid = row <= M
-        in_band = (cols >= lb) & (cols <= rb)
+        s = lb - lbm1  # window shift vs previous row (>= 0)
+        cw = lb + js  # absolute dp columns of this window
+        in_band = js <= rb - lb
         last_row = row == M
 
+        # per-row B-side stats windows
+        b0w = lax.dynamic_slice(b0, (lb,), (W,))
+        b1w = lax.dynamic_slice(b1, (lb,), (W,))
+        pbw = lax.dynamic_slice(pb, (lb, 0), (W, 4))
+        subw = lax.dynamic_slice(sub_right, (lb, 0), (W, 6))
+
+        # previous-row values re-aligned to this window
+        upC = _window(dpC, s, W)
+        upD = _window(dpD, s, W)
+        upI = _window(dpI, s, W)
+        diagC = _window(dpC, s - 1, W)
+        diagD = _window(dpD, s - 1, W)
+        diagI = _window(dpI, s - 1, W)
+
         # ---------- D node ----------
-        xs_ = dpC
-        ys_ = dpD
-        zs_ = dpI
-        inner = (cols > 0) & (cols < N)
+        xs_ = upC
+        ys_ = upD
+        zs_ = upI
+        inner = (cw > 0) & (cw < N)
         not1 = row > 1
-        xD = go * (par[0] * b0 + par[2] * L)
+        xD = go * (par[0] * b0w + par[2] * L)
         yD = go * par[2] * L
-        xs_ = xs_ - jnp.where(inner & (cols > lbm2) & not1, xD, 0)
+        xs_ = xs_ - jnp.where(inner & (cw > lbm2) & not1, xD, 0)
         ys_ = ys_ - jnp.where(inner & not1, yD, 0)
         zD = go * a0r * L
-        zs_ = zs_ - jnp.where(inner & (cols > lbm1), zD, 0)
+        zs_ = zs_ - jnp.where(inner & (cw > lbm1), zD, 0)
         pickC = (xs_ >= ys_) & (xs_ >= zs_)
         pickD = (~pickC) & (ys_ > zs_)
         D_new = (
@@ -105,77 +143,70 @@ def _yama_core(
             pickC, jnp.uint8(FLAG_C),
             jnp.where(pickD, jnp.uint8(FLAG_D), jnp.uint8(FLAG_I)),
         )
-        D_row = jnp.where(in_band, D_new, dpD)
+        D_row = jnp.where(in_band, D_new, MININT)
 
         # ---------- C node ----------
-        shiftC = jnp.concatenate([jnp.array([MININT], jnp.int32), dpC[:-1]])
-        shiftD = jnp.concatenate([jnp.array([MININT], jnp.int32), dpD[:-1]])
-        shiftI = jnp.concatenate([jnp.array([MININT], jnp.int32), dpI[:-1]])
-        # at col == lb the diagonal is MININT unless LB[row-1] <= lb-1
-        kill = (cols == lb) & (lbm1 > lb - 1)
-        xs_ = jnp.where(kill, MININT, shiftC)
-        ys_ = jnp.where(kill, MININT, shiftD)
-        zs_ = jnp.where(kill, MININT, shiftI)
-        gt1 = cols > 1
+        xs_ = diagC
+        ys_ = diagD
+        zs_ = diagI
+        gt1 = cw > 1
         xC = go * (
-            par[0] * pb[:, 1]
-            + par[1] * (pb[:, 0] + pb[:, 2])
-            + par[2] * (pb[:, 1] + pb[:, 3])
-            + par[3] * pb[:, 2]
+            par[0] * pbw[:, 1]
+            + par[1] * (pbw[:, 0] + pbw[:, 2])
+            + par[2] * (pbw[:, 1] + pbw[:, 3])
+            + par[3] * pbw[:, 2]
         )
-        yC = go * (par[1] * b0 + par[2] * b1 + par[3] * b0)
-        zC = go * (a0r * (pb[:, 1] + pb[:, 3]) + a1r * pb[:, 2])
-        xs_ = xs_ - jnp.where(gt1 & (cols > lbm2 + 1) & not1, xC, 0)
+        yC = go * (par[1] * b0w + par[2] * b1w + par[3] * b0w)
+        zC = go * (a0r * (pbw[:, 1] + pbw[:, 3]) + a1r * pbw[:, 2])
+        xs_ = xs_ - jnp.where(gt1 & (cw > lbm2 + 1) & not1, xC, 0)
         ys_ = ys_ - jnp.where(gt1 & not1, yC, 0)
-        zs_ = zs_ - jnp.where(gt1 & (cols > lbm1 + 1), zC, 0)
+        zs_ = zs_ - jnp.where(gt1 & (cw > lbm1 + 1), zC, 0)
         pickC = (xs_ >= ys_) & (xs_ >= zs_)
         pickD = (~pickC) & (ys_ > zs_)
-        sub = sub_right @ ha  # (n_pad+1,)
+        sub = subw @ ha  # (W,)
         C_new = jnp.where(pickC, xs_, jnp.where(pickD, ys_, zs_)) + sub
         flag_c = jnp.where(
             pickC, jnp.uint8(FLAG_C),
             jnp.where(pickD, jnp.uint8(FLAG_D), jnp.uint8(FLAG_I)),
         )
-        reach = cols > lbm1
+        reach = cw > lbm1
         C_new = jnp.where(reach, C_new, MININT)
         flag_c = jnp.where(reach, flag_c, jnp.uint8(0))
-        C_row = jnp.where(in_band, C_new, dpC)
+        C_row = jnp.where(in_band, C_new, MININT)
 
         # ---------- I node: parallel prefix-max chain ----------
         live = ~last_row
         xI = jnp.where(
-            live, go * (a0r * (pb[:, 0] + pb[:, 2]) + a1r * pb[:, 2]), 0
+            live, go * (a0r * (pbw[:, 0] + pbw[:, 2]) + a1r * pbw[:, 2]), 0
         )
-        yI = jnp.where(live, go * K * b0, 0)
-        zI = jnp.where(live, go * K * pb[:, 2], 0)
-        e = b0 * K * ge
-        Cw = jnp.concatenate([jnp.array([MININT], jnp.int32), C_row[:-1]])
-        Dw = jnp.concatenate([jnp.array([MININT], jnp.int32), D_row[:-1]])
-        xv = Cw - jnp.where(cols > lbm1 + 1, xI, 0)
+        yI = jnp.where(live, go * K * b0w, 0)
+        zI = jnp.where(live, go * K * pbw[:, 2], 0)
+        e = b0w * K * ge
+        Cw = jnp.concatenate([jnp.full(1, MININT, jnp.int32), C_row[:-1]])
+        Dw = jnp.concatenate([jnp.full(1, MININT, jnp.int32), D_row[:-1]])
+        xv = Cw - jnp.where(cw > lbm1 + 1, xI, 0)
         yv = Dw - yI
-        chain = cols >= lb + 1
-        s = jnp.where(cols > lb + 1, zI, 0) + e
-        P = jnp.cumsum(jnp.where(chain, s, 0), dtype=jnp.int32)
+        chain = js >= 1
+        sz = jnp.where(js > 1, zI, 0) + e
+        P = jnp.cumsum(jnp.where(chain, sz, 0), dtype=jnp.int32)
         from_y = xv < yv
         xy = jnp.maximum(xv, yv)
         V = xy - e + P
-        Vp = jnp.where(
-            cols == lb, jnp.int32(MININT), jnp.where(chain, V, NEG_HUGE)
-        )
+        # chain base: W[0] = I[0] + P[0] = MININT (I at col lb not computed)
+        Vp = jnp.where(js == 0, jnp.int32(MININT), V)
         R = lax.cummax(Vp)
-        Wprev = jnp.concatenate([jnp.array([NEG_HUGE], jnp.int32), R[:-1]])
+        Wprev = jnp.concatenate([jnp.full(1, NEG_HUGE, jnp.int32), R[:-1]])
         zwin = (Wprev > V) | ((Wprev == V) & from_y)
         I_chain = R - P
-        I_new = jnp.where(cols == lb, MININT, I_chain)
         flag_i = jnp.where(
-            cols == lb,
+            js == 0,
             jnp.uint8(0),
             jnp.where(
                 zwin, jnp.uint8(FLAG_I),
                 jnp.where(~from_y, jnp.uint8(FLAG_C), jnp.uint8(FLAG_D)),
             ),
         )
-        I_row = jnp.where(in_band, I_new, dpI)
+        I_row = jnp.where(in_band & (js > 0), I_chain, MININT)
 
         frow = jnp.where(
             in_band & row_valid,
@@ -200,21 +231,26 @@ def _yama_core(
         row_step, (dpC, dpD, dpI), xs
     )
     flags = jnp.concatenate([flags0[None, :], frows], axis=0)
-    lastC = dpC[N]
-    lastD = dpD[N]
-    lastI = dpI[N]
+    jN = N - LB[M]
+    lastC = dpC[jN]
+    lastD = dpD[jN]
+    lastI = dpI[jN]
     return flags, lastC, lastD, lastI
 
 
 SELECT_CID = 3
 
 
-def _traceback_core(flags, M, N, lastC, lastD, lastI, m_pad: int, n_pad: int):
-    """On-device edit-script extraction (mz_yama.c:257-291).
+def _traceback_core(
+    flags, LB, RB, M, N, lastC, lastD, lastI, m_pad: int, n_pad: int, W: int
+):
+    """On-device edit-script extraction (mz_yama.c:257-291) over the
+    band-local flag matrix: flags[row, col - LB[row]] when (row, col) is
+    in band, else 0 (matching the zero-initialized full matrix).
 
-    Returns (script, nedit): script[k] is the k-th op walking BACKWARD from
-    (M, N); entries past nedit are zero. Runs as a fixed-trip scan so it
-    vmaps cleanly over a batch."""
+    Returns (script, nedit): script[k] is the k-th op walking BACKWARD
+    from (M, N); entries past nedit are 255. Fixed-trip scan so it vmaps
+    cleanly over a batch."""
     node0 = jnp.where(
         (lastC >= lastD) & (lastC >= lastI),
         jnp.int32(FLAG_C),
@@ -224,7 +260,10 @@ def _traceback_core(flags, M, N, lastC, lastD, lastI, m_pad: int, n_pad: int):
     def step(carry, _):
         row, col, node, k = carry
         done = (row <= 0) & (col <= 0)
-        st = flags[row, col].astype(jnp.int32)
+        j = col - LB[row]
+        inb = (j >= 0) & (col <= RB[row]) & (j < W)
+        jc = jnp.clip(j, 0, W - 1)
+        st = jnp.where(inb, flags[row, jc], jnp.uint8(0)).astype(jnp.int32)
         out = jnp.where(done, jnp.int32(-1), node)
         is_i = node == FLAG_I
         is_d = node == FLAG_D
@@ -248,24 +287,25 @@ def _traceback_core(flags, M, N, lastC, lastD, lastI, m_pad: int, n_pad: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("go", "ge", "m_pad", "n_pad")
+    jax.jit, static_argnames=("go", "ge", "m_pad", "n_pad", "W")
 )
 def _yama_device_batch(
     histA, a0, a1, pa, histB, b0, b1, pb, LB, RB, M, N, K, L, ss_cat,
-    go: int, ge: int, m_pad: int, n_pad: int,
+    go: int, ge: int, m_pad: int, n_pad: int, W: int,
 ):
     """vmap over a bucket of same-padded-shape problems. Traceback runs on
     device too: only the (m_pad+n_pad)-byte edit scripts travel to host,
-    not the O(m_pad*n_pad) flags (critical when the host link is slow)."""
+    not the O(m_pad*W) flags."""
 
     def fn(*args):
         flags, lc, ld, li = _yama_core(
-            *args, ss_cat, go=go, ge=ge, m_pad=m_pad, n_pad=n_pad
+            *args, ss_cat, go=go, ge=ge, m_pad=m_pad, n_pad=n_pad, W=W
         )
-        m = args[10]
-        n = args[11]
+        lb, rb = args[8], args[9]
+        m, n = args[10], args[11]
         script, nedit = _traceback_core(
-            flags, m, n, lc, ld, li, m_pad=m_pad, n_pad=n_pad
+            flags, lb, rb, m, n, lc, ld, li,
+            m_pad=m_pad, n_pad=n_pad, W=W,
         )
         return script, nedit
 
@@ -275,20 +315,18 @@ def _yama_device_batch(
 
 
 def _prep(X: np.ndarray, pad: int):
-    """Pad ColStats arrays of X (ncol, nrow) to pad+1 rows."""
+    """Pad ColStats arrays of X (ncol, nrow) to ``pad`` rows."""
     st = column_stats(X)
     ncol = st.ncol
 
-    def p(arr, width=None):
+    def p(arr):
         shape = list(arr.shape)
-        shape[0] = pad + 1
+        shape[0] = pad
         out = np.zeros(shape, dtype=np.int32)
         out[: ncol + 1] = arr
         return out
 
-    return (
-        p(st.hist), p(st.nond), p(st.ndash), p(st.pair), ncol
-    )
+    return p(st.hist), p(st.nond), p(st.ndash), p(st.pair), ncol
 
 
 def _pad_to(n: int) -> int:
@@ -297,6 +335,46 @@ def _pad_to(n: int) -> int:
     while p < n:
         p *= 2
     return p
+
+
+def _pad_width(w: int) -> int:
+    """Band-window width: multiple of the 128-lane VPU row, >= 128."""
+    return -(-max(w, 1) // 128) * 128
+
+
+STACK_KEYS = (
+    "histA", "a0", "a1", "pa", "histB", "b0", "b1", "pb",
+    "LB", "RB", "M", "N", "K", "L",
+)
+
+
+def stack_jobs(jobs, m_pad: int, n_pad: int, W: int) -> dict:
+    """Stack a list of same-bucket (A, B, LB, RB) problems into the
+    batched device operands (dict keyed by STACK_KEYS, jnp arrays)."""
+    arrs = {k: [] for k in STACK_KEYS}
+    for A, B, LB, RB in jobs:
+        M, K = A.shape
+        N, L = B.shape
+        hA, a0_, a1_, pa_, _ = _prep(A, m_pad + 1)
+        hB, b0_, b1_, pb_, _ = _prep(B, n_pad + W)
+        LBp = np.zeros(m_pad + 1, dtype=np.int32)
+        RBp = np.zeros(m_pad + 1, dtype=np.int32)
+        LBp[: M + 1] = LB
+        RBp[: M + 1] = RB
+        LBp[M + 1 :] = LB[M]
+        RBp[M + 1 :] = RB[M]
+        for k, v in (
+            ("histA", hA), ("a0", a0_), ("a1", a1_), ("pa", pa_),
+            ("histB", hB), ("b0", b0_), ("b1", b1_), ("pb", pb_),
+            ("LB", LBp), ("RB", RBp), ("M", M), ("N", N), ("K", K), ("L", L),
+        ):
+            arrs[k].append(v)
+    return {
+        k: jnp.asarray(
+            np.stack(v) if np.ndim(v[0]) else np.asarray(v, np.int32)
+        )
+        for k, v in arrs.items()
+    }
 
 
 def yama_jax(
@@ -310,12 +388,17 @@ def yama_jax(
     return yama_batch([(A, B, LB, RB)], sp=sp)[0]
 
 
-def yama_batch(jobs, sp: sc.ScoreParams | None = None):
+def yama_batch(jobs, sp: sc.ScoreParams | None = None, mesh=None):
     """Batched DP over a list of (A, B, LB, RB) problems.
 
     Problems are bucketed by padded shape and executed as one vmapped
-    kernel launch per bucket; tracebacks run on host. Returns merged
-    column matrices in input order."""
+    kernel launch per bucket; tracebacks run on device, replay on host.
+    Returns merged column matrices in input order.
+
+    With ``mesh`` (a `jax.sharding.Mesh` from `parallel.sharding.make_mesh`)
+    each bucket is padded to the device count and sharded over the mesh's
+    ``blocks`` axis — the SPMD replacement for the reference's serial
+    block loop (multiz.c:68-175)."""
     if sp is None:
         sp = sc.current
     go, ge = int(sp.gap_open), int(sp.gap_extend)
@@ -327,51 +410,28 @@ def yama_batch(jobs, sp: sc.ScoreParams | None = None):
         LB = np.asarray(LB, dtype=np.int64)
         RB = np.asarray(RB, dtype=np.int64)
         _check_band(LB, RB, M, N)
-        key = (_pad_to(M), _pad_to(N))
+        width = int(np.max(RB[: M + 1] - LB[: M + 1])) + 1
+        key = (_pad_to(M), _pad_to(N), _pad_width(width))
         buckets.setdefault(key, []).append(idx)
     results = [None] * len(jobs)
-    for (m_pad, n_pad), idxs in buckets.items():
-        arrs = {k: [] for k in (
-            "histA", "a0", "a1", "pa", "histB", "b0", "b1", "pb",
-            "LB", "RB", "M", "N", "K", "L",
-        )}
-        for idx in idxs:
-            A, B, LB, RB = jobs[idx]
-            M, K = A.shape
-            N, L = B.shape
-            hA, a0_, a1_, pa_, _ = _prep(A, m_pad)
-            hB, b0_, b1_, pb_, _ = _prep(B, n_pad)
-            LBp = np.zeros(m_pad + 1, dtype=np.int32)
-            RBp = np.zeros(m_pad + 1, dtype=np.int32)
-            LBp[: M + 1] = LB
-            RBp[: M + 1] = RB
-            LBp[M + 1 :] = LB[M]
-            RBp[M + 1 :] = RB[M]
-            arrs["histA"].append(hA)
-            arrs["a0"].append(a0_)
-            arrs["a1"].append(a1_)
-            arrs["pa"].append(pa_)
-            arrs["histB"].append(hB)
-            arrs["b0"].append(b0_)
-            arrs["b1"].append(b1_)
-            arrs["pb"].append(pb_)
-            arrs["LB"].append(LBp)
-            arrs["RB"].append(RBp)
-            arrs["M"].append(M)
-            arrs["N"].append(N)
-            arrs["K"].append(K)
-            arrs["L"].append(L)
-        stacked = {
-            k: jnp.asarray(np.stack(v) if np.ndim(v[0]) else np.asarray(v, np.int32))
-            for k, v in arrs.items()
-        }
+    for (m_pad, n_pad, W), idxs in buckets.items():
+        run_idxs = list(idxs)
+        if mesh is not None:
+            from ..parallel.sharding import pad_batch
+
+            want = pad_batch(len(idxs), mesh)
+            run_idxs = idxs + [idxs[-1]] * (want - len(idxs))
+        stacked = stack_jobs([jobs[i] for i in run_idxs], m_pad, n_pad, W)
+        if mesh is not None:
+            from ..parallel.sharding import shard_stacked
+
+            stacked = shard_stacked(stacked, mesh)
         scripts, nedits = _yama_device_batch(
             stacked["histA"], stacked["a0"], stacked["a1"], stacked["pa"],
             stacked["histB"], stacked["b0"], stacked["b1"], stacked["pb"],
             stacked["LB"], stacked["RB"],
-            stacked["M"].astype(jnp.int32), stacked["N"].astype(jnp.int32),
-            stacked["K"].astype(jnp.int32), stacked["L"].astype(jnp.int32),
-            ss_cat, go=go, ge=ge, m_pad=m_pad, n_pad=n_pad,
+            stacked["M"], stacked["N"], stacked["K"], stacked["L"],
+            ss_cat, go=go, ge=ge, m_pad=m_pad, n_pad=n_pad, W=W,
         )
         scripts_np = np.asarray(scripts)
         nedits_np = np.asarray(nedits)
