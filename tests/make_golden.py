@@ -247,6 +247,22 @@ def make_tool_goldens():
     print("wrote tool goldens")
 
 
+def make_lav_goldens():
+    """maf2lav on a sing maf, then lav2maf round-trip, both as goldens."""
+    data = os.path.join(GOLDEN, "data")
+    out = os.path.join(GOLDEN, "expect")
+    res = run_ref(
+        "maf2lav", "human.chimp.sing.maf", "human", "chimp", cwd=data,
+    )
+    lav_path = os.path.join(out, "human.chimp.lav")
+    with open(lav_path, "wb") as fh:
+        fh.write(res.stdout)
+    res = run_ref("lav2maf", lav_path, "human", "chimp", cwd=data)
+    with open(os.path.join(out, "lav2maf.maf"), "wb") as fh:
+        fh.write(res.stdout)
+    print("wrote lav goldens")
+
+
 def make_tree_goldens():
     """roast/tba shell out to the other binaries by name: run with
     PATH=BUILD and cwd=data so `x.y.sing.maf` and seq files resolve."""
@@ -291,6 +307,8 @@ def main():
         make_data()
     if what in ("all", "tools"):
         make_tool_goldens()
+    if what in ("all", "lav"):
+        make_lav_goldens()
     if what in ("all", "tree"):
         make_tree_goldens()
 
