@@ -247,6 +247,39 @@ def make_tool_goldens():
     print("wrote tool goldens")
 
 
+def make_multic_goldens():
+    """multic on overlapping (orig) and single-coverage inputs."""
+    data = os.path.join(GOLDEN, "data")
+    out = os.path.join(GOLDEN, "expect")
+
+    def save(name, res):
+        with open(os.path.join(out, name), "wb") as fh:
+            fh.write(res.stdout)
+
+    for v in (0, 1):
+        res = run_ref(
+            "multic",
+            os.path.join(data, "human.chimp.sing.maf"),
+            os.path.join(data, "human.mouse.orig.maf"),
+            v,
+        )
+        save(f"multic_v{v}.maf", res)
+    tmp = os.path.join(BUILD, "mc_out")
+    os.makedirs(tmp, exist_ok=True)
+    res = run_ref(
+        "multic",
+        os.path.join(data, "human.chimp.orig.maf"),
+        os.path.join(data, "human.rat.orig.maf"),
+        1,
+        os.path.join(tmp, "u1.maf"),
+        os.path.join(tmp, "u2.maf"),
+    )
+    save("multic_v1_main.maf", res)
+    for f in ("u1.maf", "u2.maf"):
+        shutil.copy(os.path.join(tmp, f), os.path.join(out, f"multic_v1_{f}"))
+    print("wrote multic goldens")
+
+
 def make_lav_goldens():
     """maf2lav on a sing maf, then lav2maf round-trip, both as goldens."""
     data = os.path.join(GOLDEN, "data")
@@ -307,6 +340,8 @@ def main():
         make_data()
     if what in ("all", "tools"):
         make_tool_goldens()
+    if what in ("all", "multic"):
+        make_multic_goldens()
     if what in ("all", "lav"):
         make_lav_goldens()
     if what in ("all", "tree"):
