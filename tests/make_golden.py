@@ -296,6 +296,29 @@ def make_lav_goldens():
     print("wrote lav goldens")
 
 
+M2F_CASES = [
+    ("m2f_text.txt", ["human", "multi.maf"]),
+    ("m2f_fasta.fa", ["human", "multi.maf", "fasta"]),
+    ("m2f_fasta2.fa", ["human", "multi.maf", "fasta2@"]),
+    ("m2f_range.fa", ["human", "multi.maf", "100", "5000", "fasta#"]),
+    ("m2f_refsrc.fa", ["human", "multi.maf", "refsrc=human.chr1", "fasta"]),
+    ("m2f_pair.txt", ["human", "human.chimp.sing.maf"]),
+]
+
+
+def make_maf2fasta_goldens():
+    data = os.path.join(GOLDEN, "data")
+    out = os.path.join(GOLDEN, "expect")
+    for name, args in M2F_CASES:
+        res = run_ref("maf2fasta", *args, cwd=data)
+        with open(os.path.join(out, name), "wb") as fh:
+            fh.write(res.stdout)
+    res = run_ref("get_standard_headers", "human", cwd=data)
+    with open(os.path.join(out, "standard_headers.txt"), "wb") as fh:
+        fh.write(res.stdout)
+    print("wrote maf2fasta goldens")
+
+
 def make_tree_goldens():
     """roast/tba shell out to the other binaries by name: run with
     PATH=BUILD and cwd=data so `x.y.sing.maf` and seq files resolve."""
@@ -344,6 +367,8 @@ def main():
         make_multic_goldens()
     if what in ("all", "lav"):
         make_lav_goldens()
+    if what in ("all", "maf2fasta"):
+        make_maf2fasta_goldens()
     if what in ("all", "tree"):
         make_tree_goldens()
 
