@@ -1,4 +1,4 @@
-"""Jitted/batched yama DP for TPU execution — band-local formulation.
+"""Jitted/batched yama DP for TPU execution — full-row formulation.
 
 The recurrence (mz_yama.c:97-254) has three per-cell nodes: D depends on
 the previous row, C on the previous row's diagonal, and I on the previous
@@ -11,26 +11,23 @@ W[c] = max(V[c], W[c-1]) — a cummax. The C/D/I tie-breaking preference
 (mz_yama.c:138-154) is recovered exactly from (V, W_prev, x<y) in integer
 arithmetic.
 
-**Band-local storage.** The reference walks a radius-30 sausage around the
-guide path (mz_preyama.c:17-35), so the live band is ~60-70 columns while
-the full row can be thousands. The device state is therefore a W-wide
-window (W = 128 typically, a single VPU lane row) anchored at LB[row]:
-between rows the window is re-aligned by a dynamic slice of the previous
-carry padded with MININT. This is *exact*, not an approximation: with
-monotone LB/RB (checked at entry, mz_yama.c:58-71) every dp cell the C
-code reads outside the previous row's band was never written and still
-holds MININT — cells right of RB[row-1] were never reached (RB monotone),
-and the diagonal read at col==LB[row] is either inside the previous band
-or explicitly killed to MININT (mz_yama.c:101-106). Per-row B-side
-statistics enter via W-wide dynamic slices of the full column-stats
-arrays.
+**Full-row storage.** The device state is the whole dp row in absolute
+column coordinates (n_pad+1 lanes). Out-of-band lanes are masked to
+MININT after every row, which is exactly the reference's
+MININT-initialized full matrix (mz_yama.c:77-94): every read the C code
+makes outside the band of the previous row sees MININT, and so does this
+kernel. Compared to a band-local window this wastes lanes on out-of-band
+columns, but it removes ALL data-dependent gathers from the scan body —
+the previous-row diagonal is a static shift-by-one, and the B-side
+per-column statistics are consumed in place with no per-row dynamic
+slices. On TPU that turns the row step into one fused, fully static VPU
+loop body; measured end-to-end this is ~2 orders of magnitude faster
+than the window-realignment formulation it replaces.
 
 All arithmetic is int32, matching the C's ``int``; the prefix-max offsets
-stay far from overflow now that they accumulate over at most W columns.
-Traceback also runs on device over the (m_pad+1, W) local flag matrix
-(flags outside the band read as 0, exactly like the zero-initialized full
-matrix in the host oracle); only the (m_pad+n_pad)-byte edit scripts
-travel back to host.
+accumulate only over in-band columns, so they stay far from overflow.
+Traceback also runs on device over the (m_pad+1, n_pad+1) flag matrix;
+only the (m_pad+n_pad)-byte edit scripts travel back to host.
 """
 
 from __future__ import annotations
@@ -59,41 +56,33 @@ from ..yama import (
 NEG_HUGE = jnp.int32(-(2**30) - (2**29))
 
 
-def _window(prev, start, W):
-    """prev_abs[start + j] for j in [0, W): dynamic slice of prev padded
-    with one leading and W trailing MININTs. start==-1 yields MININT at
-    j==0 (the killed diagonal); starts beyond the band clamp into the
-    MININT fill."""
-    padded = jnp.concatenate(
-        [jnp.full(1, MININT, jnp.int32), prev, jnp.full(W, MININT, jnp.int32)]
-    )
-    return lax.dynamic_slice(padded, (start + 1,), (W,))
+def _shift1(v):
+    """v shifted right one lane, MININT shifted in (the dp[col-1] read)."""
+    return jnp.concatenate([jnp.full(1, MININT, jnp.int32), v[:-1]])
 
 
 def _yama_core(
     histA,  # (m_pad+1, 6) int32
     a0, a1,  # (m_pad+1,) int32 non-dash / dash counts of A columns
     pa,  # (m_pad+1, 4) int32 pair counts
-    histB,  # (n_pad+W, 6) int32 (padded for W-wide slicing)
-    b0, b1,  # (n_pad+W,)
-    pb,  # (n_pad+W, 4)
+    histB,  # (n_pad+1, 6) int32
+    b0, b1,  # (n_pad+1,)
+    pb,  # (n_pad+1, 4)
     LB, RB,  # (m_pad+1,) int32
     M, N,  # scalars int32 (actual sizes)
     K, L,  # scalars int32 (row counts; arithmetic only)
     ss_cat,  # (6, 6) int32
-    go: int, ge: int, m_pad: int, n_pad: int, W: int,
+    go: int, ge: int, m_pad: int, n_pad: int,
 ):
-    js = jnp.arange(W, dtype=jnp.int32)
+    js = jnp.arange(n_pad + 1, dtype=jnp.int32)
 
-    sub_right = histB.astype(jnp.int32) @ ss_cat.T  # (n_pad+W, 6)
+    sub_right = histB.astype(jnp.int32) @ ss_cat.T  # (n_pad+1, 6)
 
-    # ---- row 0 init (mz_yama.c:82-94); window base LB[0] == 0 ----
-    dpC = jnp.full(W, MININT, jnp.int32).at[0].set(0)
+    # ---- row 0 init (mz_yama.c:82-94) ----
+    dpC = jnp.full(n_pad + 1, MININT, jnp.int32).at[0].set(0)
     dpD = dpC
-    r0 = RB[0]
-    b0w0 = lax.dynamic_slice(b0, (0,), (W,))
-    chain0 = (js >= 1) & (js <= r0)
-    i0 = -jnp.cumsum(jnp.where(chain0, b0w0, 0)) * K * ge
+    chain0 = (js >= 1) & (js <= RB[0])
+    i0 = -jnp.cumsum(jnp.where(chain0, b0, 0)) * K * ge
     dpI = jnp.where(chain0, i0, jnp.where(js == 0, 0, MININT)).astype(
         jnp.int32
     )
@@ -103,24 +92,15 @@ def _yama_core(
         dpC, dpD, dpI = carry
         (row, lb, lbm1, lbm2, rb, ha, a0r, a1r, par) = xs
         row_valid = row <= M
-        s = lb - lbm1  # window shift vs previous row (>= 0)
-        cw = lb + js  # absolute dp columns of this window
-        in_band = js <= rb - lb
+        cw = js  # absolute dp columns
+        in_band = (js >= lb) & (js <= rb)
         last_row = row == M
 
-        # per-row B-side stats windows
-        b0w = lax.dynamic_slice(b0, (lb,), (W,))
-        b1w = lax.dynamic_slice(b1, (lb,), (W,))
-        pbw = lax.dynamic_slice(pb, (lb, 0), (W, 4))
-        subw = lax.dynamic_slice(sub_right, (lb, 0), (W, 6))
-
-        # previous-row values re-aligned to this window
-        upC = _window(dpC, s, W)
-        upD = _window(dpD, s, W)
-        upI = _window(dpI, s, W)
-        diagC = _window(dpC, s - 1, W)
-        diagD = _window(dpD, s - 1, W)
-        diagI = _window(dpI, s - 1, W)
+        # previous-row values: direct (up) and one-lane shift (diagonal)
+        upC, upD, upI = dpC, dpD, dpI
+        diagC = _shift1(dpC)
+        diagD = _shift1(dpD)
+        diagI = _shift1(dpI)
 
         # ---------- D node ----------
         xs_ = upC
@@ -128,7 +108,7 @@ def _yama_core(
         zs_ = upI
         inner = (cw > 0) & (cw < N)
         not1 = row > 1
-        xD = go * (par[0] * b0w + par[2] * L)
+        xD = go * (par[0] * b0 + par[2] * L)
         yD = go * par[2] * L
         xs_ = xs_ - jnp.where(inner & (cw > lbm2) & not1, xD, 0)
         ys_ = ys_ - jnp.where(inner & not1, yD, 0)
@@ -151,19 +131,19 @@ def _yama_core(
         zs_ = diagI
         gt1 = cw > 1
         xC = go * (
-            par[0] * pbw[:, 1]
-            + par[1] * (pbw[:, 0] + pbw[:, 2])
-            + par[2] * (pbw[:, 1] + pbw[:, 3])
-            + par[3] * pbw[:, 2]
+            par[0] * pb[:, 1]
+            + par[1] * (pb[:, 0] + pb[:, 2])
+            + par[2] * (pb[:, 1] + pb[:, 3])
+            + par[3] * pb[:, 2]
         )
-        yC = go * (par[1] * b0w + par[2] * b1w + par[3] * b0w)
-        zC = go * (a0r * (pbw[:, 1] + pbw[:, 3]) + a1r * pbw[:, 2])
+        yC = go * (par[1] * b0 + par[2] * b1 + par[3] * b0)
+        zC = go * (a0r * (pb[:, 1] + pb[:, 3]) + a1r * pb[:, 2])
         xs_ = xs_ - jnp.where(gt1 & (cw > lbm2 + 1) & not1, xC, 0)
         ys_ = ys_ - jnp.where(gt1 & not1, yC, 0)
         zs_ = zs_ - jnp.where(gt1 & (cw > lbm1 + 1), zC, 0)
         pickC = (xs_ >= ys_) & (xs_ >= zs_)
         pickD = (~pickC) & (ys_ > zs_)
-        sub = subw @ ha  # (W,)
+        sub = sub_right @ ha  # (n_pad+1,)
         C_new = jnp.where(pickC, xs_, jnp.where(pickD, ys_, zs_)) + sub
         flag_c = jnp.where(
             pickC, jnp.uint8(FLAG_C),
@@ -177,36 +157,36 @@ def _yama_core(
         # ---------- I node: parallel prefix-max chain ----------
         live = ~last_row
         xI = jnp.where(
-            live, go * (a0r * (pbw[:, 0] + pbw[:, 2]) + a1r * pbw[:, 2]), 0
+            live, go * (a0r * (pb[:, 0] + pb[:, 2]) + a1r * pb[:, 2]), 0
         )
-        yI = jnp.where(live, go * K * b0w, 0)
-        zI = jnp.where(live, go * K * pbw[:, 2], 0)
-        e = b0w * K * ge
-        Cw = jnp.concatenate([jnp.full(1, MININT, jnp.int32), C_row[:-1]])
-        Dw = jnp.concatenate([jnp.full(1, MININT, jnp.int32), D_row[:-1]])
+        yI = jnp.where(live, go * K * b0, 0)
+        zI = jnp.where(live, go * K * pb[:, 2], 0)
+        e = b0 * K * ge
+        Cw = _shift1(C_row)
+        Dw = _shift1(D_row)
         xv = Cw - jnp.where(cw > lbm1 + 1, xI, 0)
         yv = Dw - yI
-        chain = js >= 1
-        sz = jnp.where(js > 1, zI, 0) + e
+        chain = (cw >= lb + 1) & (cw <= rb)
+        sz = jnp.where(cw > lb + 1, zI, 0) + e
         P = jnp.cumsum(jnp.where(chain, sz, 0), dtype=jnp.int32)
         from_y = xv < yv
         xy = jnp.maximum(xv, yv)
         V = xy - e + P
-        # chain base: W[0] = I[0] + P[0] = MININT (I at col lb not computed)
-        Vp = jnp.where(js == 0, jnp.int32(MININT), V)
+        # chain base: cells at or left of lb are never real I candidates
+        Vp = jnp.where(cw <= lb, jnp.int32(MININT), V)
         R = lax.cummax(Vp)
         Wprev = jnp.concatenate([jnp.full(1, NEG_HUGE, jnp.int32), R[:-1]])
         zwin = (Wprev > V) | ((Wprev == V) & from_y)
         I_chain = R - P
         flag_i = jnp.where(
-            js == 0,
+            cw <= lb,
             jnp.uint8(0),
             jnp.where(
                 zwin, jnp.uint8(FLAG_I),
                 jnp.where(~from_y, jnp.uint8(FLAG_C), jnp.uint8(FLAG_D)),
             ),
         )
-        I_row = jnp.where(in_band & (js > 0), I_chain, MININT)
+        I_row = jnp.where(in_band & (cw > lb), I_chain, MININT)
 
         frow = jnp.where(
             in_band & row_valid,
@@ -231,10 +211,9 @@ def _yama_core(
         row_step, (dpC, dpD, dpI), xs
     )
     flags = jnp.concatenate([flags0[None, :], frows], axis=0)
-    jN = N - LB[M]
-    lastC = dpC[jN]
-    lastD = dpD[jN]
-    lastI = dpI[jN]
+    lastC = dpC[N]
+    lastD = dpD[N]
+    lastI = dpI[N]
     return flags, lastC, lastD, lastI
 
 
@@ -242,11 +221,11 @@ SELECT_CID = 3
 
 
 def _traceback_core(
-    flags, LB, RB, M, N, lastC, lastD, lastI, m_pad: int, n_pad: int, W: int
+    flags, LB, RB, M, N, lastC, lastD, lastI, m_pad: int, n_pad: int
 ):
     """On-device edit-script extraction (mz_yama.c:257-291) over the
-    band-local flag matrix: flags[row, col - LB[row]] when (row, col) is
-    in band, else 0 (matching the zero-initialized full matrix).
+    (m_pad+1, n_pad+1) flag matrix: flags[row, col] when (row, col) is in
+    band, else 0 (matching the zero-initialized full matrix).
 
     Returns (script, nedit): script[k] is the k-th op walking BACKWARD
     from (M, N); entries past nedit are 255. Fixed-trip scan so it vmaps
@@ -260,9 +239,8 @@ def _traceback_core(
     def step(carry, _):
         row, col, node, k = carry
         done = (row <= 0) & (col <= 0)
-        j = col - LB[row]
-        inb = (j >= 0) & (col <= RB[row]) & (j < W)
-        jc = jnp.clip(j, 0, W - 1)
+        inb = (col >= LB[row]) & (col <= RB[row])
+        jc = jnp.clip(col, 0, n_pad)
         st = jnp.where(inb, flags[row, jc], jnp.uint8(0)).astype(jnp.int32)
         out = jnp.where(done, jnp.int32(-1), node)
         is_i = node == FLAG_I
@@ -287,25 +265,24 @@ def _traceback_core(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("go", "ge", "m_pad", "n_pad", "W")
+    jax.jit, static_argnames=("go", "ge", "m_pad", "n_pad")
 )
 def _yama_device_batch(
     histA, a0, a1, pa, histB, b0, b1, pb, LB, RB, M, N, K, L, ss_cat,
-    go: int, ge: int, m_pad: int, n_pad: int, W: int,
+    go: int, ge: int, m_pad: int, n_pad: int,
 ):
     """vmap over a bucket of same-padded-shape problems. Traceback runs on
     device too: only the (m_pad+n_pad)-byte edit scripts travel to host,
-    not the O(m_pad*W) flags."""
+    not the O(m_pad*n_pad) flags."""
 
     def fn(*args):
         flags, lc, ld, li = _yama_core(
-            *args, ss_cat, go=go, ge=ge, m_pad=m_pad, n_pad=n_pad, W=W
+            *args, ss_cat, go=go, ge=ge, m_pad=m_pad, n_pad=n_pad
         )
         lb, rb = args[8], args[9]
         m, n = args[10], args[11]
         script, nedit = _traceback_core(
-            flags, lb, rb, m, n, lc, ld, li,
-            m_pad=m_pad, n_pad=n_pad, W=W,
+            flags, lb, rb, m, n, lc, ld, li, m_pad=m_pad, n_pad=n_pad,
         )
         return script, nedit
 
@@ -337,18 +314,13 @@ def _pad_to(n: int) -> int:
     return p
 
 
-def _pad_width(w: int) -> int:
-    """Band-window width: multiple of the 128-lane VPU row, >= 128."""
-    return -(-max(w, 1) // 128) * 128
-
-
 STACK_KEYS = (
     "histA", "a0", "a1", "pa", "histB", "b0", "b1", "pb",
     "LB", "RB", "M", "N", "K", "L",
 )
 
 
-def stack_jobs(jobs, m_pad: int, n_pad: int, W: int) -> dict:
+def stack_jobs(jobs, m_pad: int, n_pad: int) -> dict:
     """Stack a list of same-bucket (A, B, LB, RB) problems into the
     batched device operands (dict keyed by STACK_KEYS, jnp arrays)."""
     arrs = {k: [] for k in STACK_KEYS}
@@ -356,7 +328,7 @@ def stack_jobs(jobs, m_pad: int, n_pad: int, W: int) -> dict:
         M, K = A.shape
         N, L = B.shape
         hA, a0_, a1_, pa_, _ = _prep(A, m_pad + 1)
-        hB, b0_, b1_, pb_, _ = _prep(B, n_pad + W)
+        hB, b0_, b1_, pb_, _ = _prep(B, n_pad + 1)
         LBp = np.zeros(m_pad + 1, dtype=np.int32)
         RBp = np.zeros(m_pad + 1, dtype=np.int32)
         LBp[: M + 1] = LB
@@ -410,18 +382,17 @@ def yama_batch(jobs, sp: sc.ScoreParams | None = None, mesh=None):
         LB = np.asarray(LB, dtype=np.int64)
         RB = np.asarray(RB, dtype=np.int64)
         _check_band(LB, RB, M, N)
-        width = int(np.max(RB[: M + 1] - LB[: M + 1])) + 1
-        key = (_pad_to(M), _pad_to(N), _pad_width(width))
+        key = (_pad_to(M), _pad_to(N))
         buckets.setdefault(key, []).append(idx)
     results = [None] * len(jobs)
-    for (m_pad, n_pad, W), idxs in buckets.items():
+    for (m_pad, n_pad), idxs in buckets.items():
         run_idxs = list(idxs)
         if mesh is not None:
             from ..parallel.sharding import pad_batch
 
             want = pad_batch(len(idxs), mesh)
             run_idxs = idxs + [idxs[-1]] * (want - len(idxs))
-        stacked = stack_jobs([jobs[i] for i in run_idxs], m_pad, n_pad, W)
+        stacked = stack_jobs([jobs[i] for i in run_idxs], m_pad, n_pad)
         if mesh is not None:
             from ..parallel.sharding import shard_stacked
 
@@ -431,7 +402,7 @@ def yama_batch(jobs, sp: sc.ScoreParams | None = None, mesh=None):
             stacked["histB"], stacked["b0"], stacked["b1"], stacked["pb"],
             stacked["LB"], stacked["RB"],
             stacked["M"], stacked["N"], stacked["K"], stacked["L"],
-            ss_cat, go=go, ge=ge, m_pad=m_pad, n_pad=n_pad, W=W,
+            ss_cat, go=go, ge=ge, m_pad=m_pad, n_pad=n_pad,
         )
         scripts_np = np.asarray(scripts)
         nedits_np = np.asarray(nedits)
