@@ -46,7 +46,9 @@ from ..yama import (
     FLAG_D,
     FLAG_I,
     MININT,
+    YamaError,
     _check_band,
+    _mzcore,
     column_stats,
     _replay,
 )
@@ -322,31 +324,59 @@ STACK_KEYS = (
 
 def stack_jobs(jobs, m_pad: int, n_pad: int) -> dict:
     """Stack a list of same-bucket (A, B, LB, RB) problems into the
-    batched device operands (dict keyed by STACK_KEYS, jnp arrays)."""
-    arrs = {k: [] for k in STACK_KEYS}
-    for A, B, LB, RB in jobs:
+    batched device operands (dict keyed by STACK_KEYS, jnp arrays).
+
+    With the native host runtime, per-column statistics are written
+    straight into the pre-allocated batch buffers (zero-copy packing);
+    otherwise the NumPy column_stats path fills them."""
+    nb = len(jobs)
+    mp, np1 = m_pad + 1, n_pad + 1
+    out = {
+        "histA": np.zeros((nb, mp, 6), np.int32),
+        "a0": np.zeros((nb, mp), np.int32),
+        "a1": np.zeros((nb, mp), np.int32),
+        "pa": np.zeros((nb, mp, 4), np.int32),
+        "histB": np.zeros((nb, np1, 6), np.int32),
+        "b0": np.zeros((nb, np1), np.int32),
+        "b1": np.zeros((nb, np1), np.int32),
+        "pb": np.zeros((nb, np1, 4), np.int32),
+        "LB": np.zeros((nb, mp), np.int32),
+        "RB": np.zeros((nb, mp), np.int32),
+        "M": np.zeros(nb, np.int32),
+        "N": np.zeros(nb, np.int32),
+        "K": np.zeros(nb, np.int32),
+        "L": np.zeros(nb, np.int32),
+    }
+
+    def fill(i, side, X, pad):
+        ncol, nrow = X.shape
+        if _mzcore is not None:
+            _mzcore.colstats_into(
+                np.ascontiguousarray(X), ncol, nrow, sc.BYTE2CAT,
+                out["hist" + side][i], out[side.lower() + "0"][i],
+                out[side.lower() + "1"][i], out["p" + side.lower()][i],
+            )
+        else:
+            st = column_stats(X)
+            out["hist" + side][i, : ncol + 1] = st.hist
+            out[side.lower() + "0"][i, : ncol + 1] = st.nond
+            out[side.lower() + "1"][i, : ncol + 1] = st.ndash
+            out["p" + side.lower()][i, : ncol + 1] = st.pair
+
+    for i, (A, B, LB, RB) in enumerate(jobs):
         M, K = A.shape
         N, L = B.shape
-        hA, a0_, a1_, pa_, _ = _prep(A, m_pad + 1)
-        hB, b0_, b1_, pb_, _ = _prep(B, n_pad + 1)
-        LBp = np.zeros(m_pad + 1, dtype=np.int32)
-        RBp = np.zeros(m_pad + 1, dtype=np.int32)
-        LBp[: M + 1] = LB
-        RBp[: M + 1] = RB
-        LBp[M + 1 :] = LB[M]
-        RBp[M + 1 :] = RB[M]
-        for k, v in (
-            ("histA", hA), ("a0", a0_), ("a1", a1_), ("pa", pa_),
-            ("histB", hB), ("b0", b0_), ("b1", b1_), ("pb", pb_),
-            ("LB", LBp), ("RB", RBp), ("M", M), ("N", N), ("K", K), ("L", L),
-        ):
-            arrs[k].append(v)
-    return {
-        k: jnp.asarray(
-            np.stack(v) if np.ndim(v[0]) else np.asarray(v, np.int32)
-        )
-        for k, v in arrs.items()
-    }
+        fill(i, "A", A, mp)
+        fill(i, "B", B, np1)
+        out["LB"][i, : M + 1] = LB
+        out["RB"][i, : M + 1] = RB
+        out["LB"][i, M + 1 :] = LB[M]
+        out["RB"][i, M + 1 :] = RB[M]
+        out["M"][i] = M
+        out["N"][i] = N
+        out["K"][i] = K
+        out["L"][i] = L
+    return {k: jnp.asarray(v) for k, v in out.items()}
 
 
 def yama_jax(
@@ -409,6 +439,21 @@ def yama_batch(jobs, sp: sc.ScoreParams | None = None, mesh=None):
         for slot, idx in enumerate(idxs):
             A, B, _, _ = jobs[idx]
             ne = int(nedits_np[slot])
-            script = scripts_np[slot][:ne][::-1].copy()
-            results[idx] = _replay(script, A, B)
+            if _mzcore is not None:
+                # device scripts are newest-first; replay in place
+                M, K = A.shape
+                N, L = B.shape
+                merged = np.empty((ne, K + L), dtype=np.uint8)
+                try:
+                    _mzcore.replay_into(
+                        scripts_np[slot], ne, True,
+                        np.ascontiguousarray(A), M, K,
+                        np.ascontiguousarray(B), N, L, merged,
+                    )
+                except ValueError as e:
+                    raise YamaError(str(e))
+                results[idx] = merged
+            else:
+                script = scripts_np[slot][:ne][::-1].copy()
+                results[idx] = _replay(script, A, B)
     return results

@@ -28,9 +28,11 @@ import numpy as np
 
 from . import scores as sc
 
-try:  # optional native fast path (see native/mzcore.c)
-    from . import _mzcore  # type: ignore
-except ImportError:
+try:  # optional native fast path (see native/mzcore.cpp)
+    from .native import load as _load_native
+
+    _mzcore = _load_native()
+except Exception:
     _mzcore = None
 
 DASH = ord("-")
@@ -69,6 +71,19 @@ class ColStats:
 def column_stats(X: np.ndarray) -> ColStats:
     """Compute ColStats for X of shape (ncol, nrow), uint8 text bytes."""
     ncol, nrow = X.shape
+    if _mzcore is not None:
+        hist = np.zeros((ncol + 1, sc.NCAT), dtype=np.int32)
+        nond = np.zeros(ncol + 1, dtype=np.int32)
+        ndash = np.zeros(ncol + 1, dtype=np.int32)
+        pair = np.zeros((ncol + 1, 4), dtype=np.int32)
+        _mzcore.colstats_into(
+            np.ascontiguousarray(X), ncol, nrow, sc.BYTE2CAT,
+            hist, nond, ndash, pair,
+        )
+        return ColStats(
+            nrow=nrow, ncol=ncol, ndash=ndash, nond=nond, hist=hist,
+            pair=pair,
+        )
     dash = X == DASH
     ndash = np.zeros(ncol + 1, dtype=np.int32)
     ndash[1:] = dash.sum(axis=1)
@@ -282,9 +297,12 @@ def traceback(
 ) -> np.ndarray:
     """Edit-script extraction (mz_yama.c:257-291). Returns ops oldest-first."""
     if _mzcore is not None:
-        return _mzcore.traceback(
-            np.ascontiguousarray(flags), int(M), int(N), int(C), int(D), int(I)
+        script = np.empty(M + N, dtype=np.uint8)
+        nedit = _mzcore.traceback_into(
+            np.ascontiguousarray(flags), int(M), int(N),
+            int(C), int(D), int(I), script,
         )
+        return script[:nedit][::-1].copy()
     if C >= D and C >= I:
         node = FLAG_C
     elif D >= I:
@@ -321,6 +339,17 @@ def _replay(script: np.ndarray, A: np.ndarray, B: np.ndarray) -> np.ndarray:
     M, K = A.shape
     N, L = B.shape
     n = script.shape[0]
+    if _mzcore is not None:
+        out = np.empty((n, K + L), dtype=np.uint8)
+        try:
+            _mzcore.replay_into(
+                np.ascontiguousarray(script), n, False,
+                np.ascontiguousarray(A), M, K,
+                np.ascontiguousarray(B), N, L, out,
+            )
+        except ValueError as e:
+            raise YamaError(str(e))
+        return out
     out = np.full((n, K + L), DASH, dtype=np.uint8)
     useA = script != FLAG_I  # C or D consume a column of A
     useB = script != FLAG_D  # C or I consume a column of B
