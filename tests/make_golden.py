@@ -319,6 +319,110 @@ def make_maf2fasta_goldens():
     print("wrote maf2fasta goldens")
 
 
+BZW_CANNED_LAV = """#:lav
+d {
+  "lastz /dev/stdin two.fa Y=9000"
+}
+#:lav
+s {
+  "one.fa" 1 500 0 1
+  "two.fa" 1 400 0 1
+}
+h {
+  ">contigA"
+  ">contigB"
+}
+a {
+  s 1000
+  b 10 20
+  e 110 120
+  l 10 20 60 70 95
+  l 61 71 110 120 90
+}
+x {
+  n 0
+}
+#:eof
+"""
+
+ALL_BZ_SPEC = """# sample specfile
+#define MAMMAL human baboon
+
+* : *
+\tY=3400
+MAMMAL : MAMMAL
+\tC=2 B=0
+"""
+
+ALL_BZ_DRY_CASES = [
+    ("all_bz_dry_tba.txt",
+     ["-", "(((human chimp) baboon) (mouse rat))", "SPEC"]),
+    ("all_bz_dry_roast.txt",
+     ["-", "D=0", "F=human", "((human chimp) mouse)"]),
+    ("all_bz_dry_ref.txt",
+     ["-", "F=human", "((human chimp) mouse)", "SPEC"]),
+]
+
+
+def _write_fake_lastz(dirpath):
+    """A stand-in lastz: emits the golden human.chimp lav for that pair,
+    the canned 2-contig lav fixture for one.fa/two.fa, else empty lav."""
+    out = os.path.join(GOLDEN, "expect")
+    path = os.path.join(dirpath, "lastz")
+    with open(path, "w") as fh:
+        fh.write(
+            "#!/bin/sh\n"
+            "cat /dev/stdin > /dev/null 2>/dev/null || true\n"
+            'case "$1 $2" in\n'
+            f'  *chimp*) cat {os.path.join(out, "human.chimp.lav")} ;;\n'
+            f'  *two.fa*) cat {os.path.join(GOLDEN, "data", "canned.lav")} '
+            ";;\n"
+            '  *) echo "#:lav"; echo "#:eof" ;;\n'
+            "esac\n"
+        )
+    os.chmod(path, 0o755)
+    return dirpath
+
+
+def make_all_bz_goldens():
+    """all_bz dry-run command goldens + blastzWrapper rewrite goldens
+    (driven by a fake lastz so no real aligner is needed)."""
+    data = os.path.join(GOLDEN, "data")
+    out = os.path.join(GOLDEN, "expect")
+    spec = os.path.join(data, "bz_spec")
+    with open(spec, "w") as fh:
+        fh.write(ALL_BZ_SPEC)
+    with open(os.path.join(data, "canned.lav"), "w") as fh:
+        fh.write(BZW_CANNED_LAV)
+    with open(os.path.join(data, "two.fa"), "w") as fh:
+        fh.write(">c1\nACGTACGTAC\n>c2\nTTTTACGTGG\n")
+    with open(os.path.join(data, "one.fa"), "w") as fh:
+        fh.write(">only\nACGTACGTACGT\n")
+
+    for name, args in ALL_BZ_DRY_CASES:
+        args = [spec if a == "SPEC" else a for a in args]
+        res = run_ref("all_bz", *args, cwd=data)
+        with open(os.path.join(out, name), "wb") as fh:
+            fh.write(res.stdout)
+
+    fake = os.path.join(BUILD, "fakebin")
+    os.makedirs(fake, exist_ok=True)
+    _write_fake_lastz(fake)
+    env = dict(os.environ, PATH=fake + ":" + os.environ.get("PATH", ""))
+    for tag, pair in (
+        ("fwd", ["one.fa", "two.fa"]),
+        ("rev", ["two.fa", "one.fa"]),
+        ("multi", ["two.fa", "two.fa"]),
+    ):
+        res = subprocess.run(
+            [os.path.join(BUILD, "blastzWrapper"), *pair, "Y=9000"],
+            capture_output=True, cwd=data, env=env,
+        )
+        with open(os.path.join(out, f"bzw_{tag}.lav"), "wb") as fh:
+            fh.write(res.stdout)
+    print("wrote all_bz / blastzWrapper goldens")
+
+
 def make_tree_goldens():
     """roast/tba shell out to the other binaries by name: run with
     PATH=BUILD and cwd=data so `x.y.sing.maf` and seq files resolve."""
@@ -369,6 +473,8 @@ def main():
         make_lav_goldens()
     if what in ("all", "maf2fasta"):
         make_maf2fasta_goldens()
+    if what in ("all", "all_bz"):
+        make_all_bz_goldens()
     if what in ("all", "tree"):
         make_tree_goldens()
 
