@@ -309,7 +309,12 @@ def _prep(X: np.ndarray, pad: int):
 
 
 def _pad_to(n: int) -> int:
-    """Pad sizes to limit compilation count: next power of two, >= 16."""
+    """Pad sizes to limit compilation count: next power of two, >= 16.
+
+    Measured on-chip: tighter buckets (multiples of 256) LOSE ~30%
+    end-to-end — the extra launches and smaller per-launch batches cost
+    more than the saved lanes. Keep buckets coarse; lane waste is the
+    Pallas band-local kernel's job to fix (ROADMAP.md)."""
     p = 16
     while p < n:
         p *= 2
