@@ -21,6 +21,9 @@ def main(argv=None, out=None):
     args_line = cmd + " " + " ".join(argv) + " "
 
     cfg = MultizConfig()
+    from ..ops.dispatch import default_batch_fn
+
+    cfg.batch_fn = default_batch_fn()
     while argv and argv[0][:1] in "RMLS" and argv[0][1:2] == "=":
         key, val = argv[0][0], int(argv[0][2:])
         if val < 0:

@@ -18,7 +18,9 @@ SUFFIXES = {0: ".sing.maf", 1: ".toast.maf", 2: ".toast2.maf"}
 
 
 def parse_tree_args(argv, cmd, allow=("R", "M", "E", "P", "X")):
-    cfg = MultizConfig()
+    from ..ops.dispatch import default_batch_fn
+
+    cfg = MultizConfig(batch_fn=default_batch_fn())
     ref = None
     suffix = ".sing.maf"
     if argv and argv[0] in ("+", "-"):

@@ -14,7 +14,7 @@ from typing import Callable, List, Optional
 from . import scores as sc
 from .blocks import keep_ali, make_part_ali_col, separate_by_src
 from .maf import Ali, pos2col, write_ali
-from .preyama import pre_yama
+from .preyama import pre_yama, pre_yama_gen
 from .yama import yama_numpy
 
 
@@ -26,6 +26,11 @@ class MultizConfig:
     sml_break_wid: int = 2  # S=, accepted but unused
     row2: int = 0  # always 0 in v11.2 (multi_util.c:24; 'all' also sets 0)
     dp_fn: Callable = yama_numpy
+    # When set, multiz runs two-phase (SURVEY.md §7 step 4): the merge
+    # scan plans every overlap DP, ``batch_fn(jobs, sp=...)`` executes
+    # them as batched device launches (e.g. ops.yama_pallas.
+    # yama_batch_pallas), and outputs are stitched back in scan order.
+    batch_fn: Optional[Callable] = None
 
 
 class _Writer:
@@ -56,6 +61,44 @@ class _Writer:
             self.fh(a)
 
 
+class _DeferredDP:
+    """Collects pre_yama coroutines during planning; executes their DP
+    jobs in batched rounds (round 1 = every first DP, round 2 = the
+    v==0 second DPs, ...), then exposes per-slot results."""
+
+    def __init__(self, batch_fn: Callable, sp):
+        self.batch_fn = batch_fn
+        self.sp = sp
+        self.pending: list = []  # (gen, slot, job)
+        self.results: dict = {}
+        self.n = 0
+
+    def submit(self, gen) -> int:
+        slot = self.n
+        self.n += 1
+        try:
+            job = next(gen)
+        except StopIteration as e:
+            self.results[slot] = e.value
+        else:
+            self.pending.append((gen, slot, job))
+        return slot
+
+    def run(self) -> None:
+        while self.pending:
+            jobs = [j for (_, _, j) in self.pending]
+            outs = self.batch_fn(jobs, sp=self.sp)
+            nxt = []
+            for (gen, slot, _), res in zip(self.pending, outs):
+                try:
+                    job2 = gen.send(res)
+                except StopIteration as e:
+                    self.results[slot] = e.value
+                else:
+                    nxt.append((gen, slot, job2))
+            self.pending = nxt
+
+
 def multiz_scan(
     wk1: List[Ali],
     wk2: List[Ali],
@@ -65,6 +108,7 @@ def multiz_scan(
     v: int,
     cfg: MultizConfig,
     sp: sc.ScoreParams | None = None,
+    dp_submit: Optional[Callable] = None,
 ) -> None:
     """The two-pointer merge scan (multiz.c:60-177)."""
     i1 = i2 = 0
@@ -145,15 +189,23 @@ def multiz_scan(
             if cb != 0 and w2.fh:
                 w2.write_part(make_part_ali_col(a2, 0, cb - 1, sp=sp))
 
-        new_ali = pre_yama(
-            a1, a2, beg, end, cfg.radius, v,
-            unused2_sink=w2.write_part, sp=sp, dp_fn=cfg.dp_fn,
-        )
-        if (
-            new_ali is not None
-            and new_ali.comps[0].size >= cfg.min_output_wid
-        ):
-            out(new_ali)
+        if dp_submit is not None:
+            dp_submit(
+                pre_yama_gen(
+                    a1, a2, beg, end, cfg.radius, v,
+                    unused2_sink=w2.write_part, sp=sp,
+                )
+            )
+        else:
+            new_ali = pre_yama(
+                a1, a2, beg, end, cfg.radius, v,
+                unused2_sink=w2.write_part, sp=sp, dp_fn=cfg.dp_fn,
+            )
+            if (
+                new_ali is not None
+                and new_ali.comps[0].size >= cfg.min_output_wid
+            ):
+                out(new_ali)
 
         if end1 < end2:
             a2 = keep_ali(a2, end1 + 1, sp=sp)
@@ -194,14 +246,36 @@ def multiz(
     out = _as_sink(out)
     out1 = _as_sink(out1) if out1 is not None else out
     out2 = _as_sink(out2) if out2 is not None else out
+
+    # ---- two-phase device mode: record every emission in scan order,
+    # batch all DP jobs, then replay (SURVEY.md §7 step 4) ----
+    defer = events = None
+    final_out, final_out1, final_out2 = out, out1, out2
+    if cfg.batch_fn is not None:
+        defer = _DeferredDP(cfg.batch_fn, sp)
+        events = []
+
+        def _rec(sink):
+            if sink is None:
+                return None
+            return lambda a: events.append((sink, a))
+
+        out, out1, out2 = _rec(out), _rec(out1), _rec(out2)
+
     w1 = _Writer(out1, cfg)
     w2 = _Writer(out2, cfg)
+    dp_submit = None
+    if defer is not None:
+        dp_submit = lambda gen: events.append(  # noqa: E731
+            (None, defer.submit(gen))
+        )
     cp1, cp2 = list(list1), list(list2)
     while cp1 and cp2:
         chrom = cp1[0].comps[0].src
         cp1, wk1 = separate_by_src(cp1, chrom)
         cp2, wk2 = separate_by_src(cp2, chrom)
-        multiz_scan(wk1, wk2, out, w1, w2, v, cfg, sp=sp)
+        multiz_scan(wk1, wk2, out, w1, w2, v, cfg, sp=sp,
+                    dp_submit=dp_submit)
     # leftovers when one side ran out of chromosomes (multiz.c:277-285):
     # row2 rule applies but MIN_OUTPUT_WID does not
     for a in cp1:
@@ -210,6 +284,19 @@ def multiz(
     for a in cp2:
         if out2 is not None and (cfg.row2 == 0 or len(a.comps) > 1):
             out2(a)
+
+    if defer is not None:
+        defer.run()
+        for sink, a in events:
+            if sink is not None:
+                sink(a)
+                continue
+            new_ali = defer.results[a]  # a is the DP slot id
+            if (
+                new_ali is not None
+                and new_ali.comps[0].size >= cfg.min_output_wid
+            ):
+                final_out(new_ali)
 
 
 def _as_sink(out):

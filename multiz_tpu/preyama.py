@@ -141,7 +141,34 @@ def pre_yama(
     sp: sc.ScoreParams | None = None,
     dp_fn: DPFn = yama_numpy,
 ) -> Optional[Ali]:
-    """pre_yama (mz_preyama.c:152-359).
+    """pre_yama (mz_preyama.c:152-359): drive :func:`pre_yama_gen` with a
+    synchronous per-problem DP function."""
+    gen = pre_yama_gen(
+        a1, a2, beg, end, radius, v, unused2_sink=unused2_sink, sp=sp
+    )
+    try:
+        job = next(gen)
+        while True:
+            job = gen.send(dp_fn(*job, sp=sp))
+    except StopIteration as e:
+        return e.value
+
+
+def pre_yama_gen(
+    a1: Ali,
+    a2: Ali,
+    beg: int,
+    end: int,
+    radius: int,
+    v: int,
+    unused2_sink=None,
+    sp: sc.ScoreParams | None = None,
+):
+    """Coroutine form of pre_yama: yields (A, B, LB, RB) DP jobs and
+    receives merged column matrices back via ``send``; returns the final
+    Ali (or None). This is the seam that lets the multiz merge scan
+    *plan* all DP jobs, execute them as batched device launches, and
+    stitch results in scan order (SURVEY.md §7 step 4).
 
     v == 1: a1's reference row is fixed; single DP merging a1 (all rows)
     with a2's non-ref rows. v == 0: neither fixed; first DP aligns the
@@ -150,6 +177,12 @@ def pre_yama(
 
     ``unused2_sink(ali)`` receives a2's slice when a1 contributes no rows
     (K == 0, mz_preyama.c:193-200)."""
+    # Snapshot both blocks: when driven deferred, the merge scan resumes
+    # this coroutine AFTER keep_ali (multi_util.c:468-511) has truncated
+    # a1/a2 in place. Comp text buffers are never mutated in place
+    # (keep_ali replaces them), so sharing them is safe.
+    a1 = Ali(comps=[c.copy(text=c.text) for c in a1.comps], score=a1.score)
+    a2 = Ali(comps=[c.copy(text=c.text) for c in a2.comps], score=a2.score)
     K = len(a1.comps)
     L = len(a2.comps) - 1
 
@@ -210,7 +243,7 @@ def pre_yama(
     RB[curr1[valid]] = curr2[valid]
     LB, RB = smooth(LB, RB, M, N, radius)
 
-    AL_new = dp_fn(A, B, LB, RB, sp=sp)
+    AL_new = yield (A, B, LB, RB)
     M_new = AL_new.shape[0]
 
     if v == 1:
@@ -265,5 +298,5 @@ def pre_yama(
     LBf = np.minimum(LBb, LB2)
     RBf = np.maximum(RBb, RB2)
 
-    AL_new2 = dp_fn(A2r, AL_new, LBf, RBf, sp=sp)
+    AL_new2 = yield (A2r, AL_new, LBf, RBf)
     return maf_build(AL_new2, a1, cbeg1, a2, cbeg2, 0, sp=sp)

@@ -39,6 +39,24 @@ def test_multiz_interleaved(v):
     assert got == want  # byte-identical incl. comment echo and arg line
 
 
+@pytest.mark.parametrize("v", [0, 1])
+def test_multiz_deferred_batch_path(v, monkeypatch):
+    """Two-phase plan/execute/stitch (MultizConfig.batch_fn) is
+    byte-identical to the inline scan (reference multiz.c:60-177)."""
+    monkeypatch.setenv("MULTIZ_TPU_DEVICE", "host")
+    got = run_cli([F1, F2, str(v)])
+    want = read(os.path.join(EXPECT, f"multiz_v{v}.maf"))
+    assert got == want
+
+
+def test_multiz_deferred_batch_path_jax(monkeypatch):
+    """Same, executing the plan through the batched XLA kernel."""
+    monkeypatch.setenv("MULTIZ_TPU_DEVICE", "jax")
+    got = run_cli([F1, F2, "0"])
+    want = read(os.path.join(EXPECT, "multiz_v0.maf"))
+    assert got == want
+
+
 def test_multiz_separate_outputs(tmp_path):
     u1 = str(tmp_path / "u1.maf")
     u2 = str(tmp_path / "u2.maf")
