@@ -20,7 +20,7 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     cmd = f"roast.v{VERSION}"
     args_line = " ".join(argv)
-    cfg, ref, suffix = parse_tree_args(
+    cfg, ref, suffix, aligner = parse_tree_args(
         argv, cmd, allow=("R", "M", "E", "P", "X", "C", "T")
     )
     if ref is None:
@@ -40,7 +40,7 @@ def main(argv=None):
 
     sp = sc.init_scores70()
     blocks = roast_run(ref, tree, pair_files, src_dir=".", cfg=cfg,
-                       suffix=suffix, sp=sp)
+                       suffix=suffix, sp=sp, aligner=aligner)
     with open(dest, "w") as out:
         out.write(f"##maf version=1 scoring={cmd}.{VERSION}\n")
         out.write(f"# {cmd} {args_line}\n")

@@ -23,6 +23,7 @@ def parse_tree_args(argv, cmd, allow=("R", "M", "E", "P", "X")):
     cfg = MultizConfig(batch_fn=default_batch_fn())
     ref = None
     suffix = ".sing.maf"
+    aligner = "multiz"
     if argv and argv[0] in ("+", "-"):
         argv.pop(0)  # verbose/dry-run flags are no-ops in-process
     while argv and argv[0][:1] in allow and argv[0][1:2] == "=":
@@ -33,8 +34,8 @@ def parse_tree_args(argv, cmd, allow=("R", "M", "E", "P", "X")):
             # strstr semantics (tba.c:353-356): substring of "multic" picks
             # multic, else must be a substring of "multiz"
             if val in "multic":
-                raise SystemExit(f"{cmd}: multic path not supported yet")
-            if val not in "multiz":
+                aligner = "multic"
+            elif val not in "multiz":
                 raise SystemExit(f"{cmd}: aligner can be multiz or multic only")
         elif key == "X":
             x = int(val)
@@ -50,14 +51,14 @@ def parse_tree_args(argv, cmd, allow=("R", "M", "E", "P", "X")):
         elif key == "C":
             pass  # accepted, passed to multiz in reference; unused there
         argv.pop(0)
-    return cfg, ref, suffix
+    return cfg, ref, suffix, aligner
 
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     cmd = f"tba.v{VERSION}"
     args_line = " ".join(argv)
-    cfg, ref, suffix = parse_tree_args(argv, cmd)
+    cfg, ref, suffix, aligner = parse_tree_args(argv, cmd)
     if len(argv) < 3:
         raise SystemExit(
             f"{cmd}: args: [+-] [R=?] [M=?] [E=?] [P=?] [X=?] "
@@ -73,7 +74,7 @@ def main(argv=None):
 
     sp = sc.init_scores70()
     blocks = tba_run(tree, pair_files, src_dir=".", cfg=cfg, suffix=suffix,
-                     ref=ref, sp=sp)
+                     ref=ref, sp=sp, aligner=aligner)
     with open(dest, "w") as out:
         out.write(f"##maf version={VERSION} scoring={cmd}\n")
         out.write(f"# {cmd} {args_line}\n")

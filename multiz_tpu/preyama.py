@@ -300,3 +300,121 @@ def pre_yama_gen(
 
     AL_new2 = yield (A2r, AL_new, LBf, RBf)
     return maf_build(AL_new2, a1, cbeg1, a2, cbeg2, 0, sp=sp)
+
+
+def _must_equal(x: int, y: int, who: str) -> None:
+    """must_equal (mz_preyama.c:362-384): case-insensitive equality of
+    presumed-identical sequence characters."""
+    if chr(x).upper() != chr(y).upper():
+        raise ValueError(
+            f"pre_yama2: sequence mismatch {chr(x)!r} != {chr(y)!r} ({who})"
+        )
+
+
+def pre_yama2(
+    a1: Ali,
+    a2: Ali,
+    a3: Ali,
+    beg1: int,
+    end1: int,
+    begN: int,
+    endN: int,
+    radius: int,
+    pws,
+    sp: sc.ScoreParams | None = None,
+    dp_fn: DPFn = yama_numpy,
+) -> Optional[Ali]:
+    """pre_yama2 (mz_preyama.c:387-521): merge a2 and a3 where the
+    pairwise bridge block a1 dictates the column correspondence. The
+    band comes from a1's two rows exactly (then smooth-dilated); the
+    merge is gated on >=50% pairwise support (``connection_agreement2``,
+    mz_preyama.c:436). ``pws`` is an ``align_util.PwUAliFiles``."""
+    from .align_util import connection_agreement2
+
+    if len(a1.comps) != 2:
+        raise ValueError("pre_yama2: a1 is not a pairwise alignment")
+    c, c1 = a1.comps[0], a1.comps[1]
+    c2, c3 = a2.comps[0], a3.comps[0]
+    K = len(a2.comps)
+    L = len(a3.comps)
+    if K == 0 or L == 0:
+        raise ValueError("pre_yama2: an alignment has 0 rows")
+    if c.src != c2.src:
+        raise ValueError(
+            f"pre_yama2: first rows for sequences {c.src} != {c2.src}"
+        )
+    if c.src_size != c2.src_size or c.strand != c2.strand:
+        raise ValueError("pre_yama2: first rows incompatible")
+    if c1.src != c3.src:
+        raise ValueError(
+            f"pre_yama2: first rows (2) for sequences {c1.src} != {c3.src}"
+        )
+    if c1.src_size != c3.src_size or c1.strand != c3.strand:
+        raise ValueError("pre_yama2: first rows (2) incompatible")
+
+    cbeg1 = pos2col(c, beg1)
+    cend1 = pos2col(c, end1)
+    if cbeg1 != pos2col(c1, begN) or cend1 != pos2col(c1, endN):
+        raise ValueError("pre_yama2: mismatch of beg/end columns")
+    cbeg2 = pos2col(c2, beg1)
+    cend2 = pos2col(c2, end1)
+    cbeg3 = pos2col(c3, begN)
+    cend3 = pos2col(c3, endN)
+
+    if connection_agreement2(a2, a3, cbeg2, cend2, cbeg3, cend3, pws) == 0:
+        return None
+
+    M = cend2 - cbeg2 + 1
+    N = cend3 - cbeg3 + 1
+    if max(M, N) < 2:
+        return None
+
+    A = np.stack([d.text[cbeg2 : cend2 + 1] for d in a2.comps], axis=1)
+    B = np.stack([d.text[cbeg3 : cend3 + 1] for d in a3.comps], axis=1)
+
+    # ---- band from a1's two rows (mz_preyama.c:473-506), vectorized ----
+    # the t-th non-dash char of c over [cbeg1, cend1] lands on the t-th
+    # column of A whose top row is non-dash (checked equal); same for c1/B
+    ct = c.text[cbeg1 : cend1 + 1]
+    c1t = c1.text[cbeg1 : cend1 + 1]
+    ndc = ct != DASH
+    ndc1 = c1t != DASH
+    posA = np.flatnonzero(A[:, 0] != DASH) + 1  # 1-based A columns
+    posB = np.flatnonzero(B[:, 0] != DASH) + 1
+    if int(ndc.sum()) > posA.shape[0]:
+        raise ValueError("pre_yama2: bad scene")
+    if int(ndc1.sum()) > posB.shape[0]:
+        raise ValueError("pre_yama2: ouch")
+    for x, z in zip(ct[ndc], A[posA[: int(ndc.sum())] - 1, 0]):
+        _must_equal(int(x), int(z), "file 2")
+    for y, z in zip(c1t[ndc1], B[posB[: int(ndc1.sum())] - 1, 0]):
+        _must_equal(int(y), int(z), "file 3")
+
+    cumA = np.cumsum(ndc)
+    cumB = np.cumsum(ndc1)
+    i_arr = np.where(cumA > 0, posA[np.maximum(cumA - 1, 0)], 0)
+    j_arr = np.where(cumB > 0, posB[np.maximum(cumB - 1, 0)], 0)
+    if (int(i_arr[-1]) if i_arr.size else 0) != M or (
+        int(j_arr[-1]) if j_arr.size else 0
+    ) != N:
+        raise ValueError(
+            f"pre_yama2: i = {int(i_arr[-1])}, M = {M}, "
+            f"j = {int(j_arr[-1])}, N = {N}"
+        )
+    LB = np.zeros(M + 1, dtype=np.int64)
+    RB = np.full(M + 1, N, dtype=np.int64)
+    # LB[i] = first nonzero j in i's group (the C's `if (LB[i]==0)` rule);
+    # RB[i] = last (max) j; j is nondecreasing so min/max scatters match
+    nz = j_arr > 0
+    if nz.any():
+        tmp = np.full(M + 1, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(tmp, i_arr[nz], j_arr[nz])
+        touched = tmp != np.iinfo(np.int64).max
+        LB[touched] = tmp[touched]
+    rbt = np.full(M + 1, -1, dtype=np.int64)
+    np.maximum.at(rbt, i_arr, j_arr)
+    RB[rbt >= 0] = rbt[rbt >= 0]
+    LB, RB = smooth(LB, RB, M, N, radius)
+
+    AL_new = dp_fn(A, B, LB, RB, sp=sp)
+    return maf_build(AL_new, a2, cbeg2, a3, cbeg3, 1, sp=sp)

@@ -23,6 +23,7 @@ from . import scores as sc
 from .blocks import flip_comps, separate_by_src
 from .maf import Ali, read_maf
 from .maf_project import project
+from .multic import MulticConfig, multic
 from .multiz import MultizConfig, multiz
 from .threading_tools import get_covered, get_maf_between
 
@@ -117,6 +118,21 @@ def t_multiz(l1: Blocks, l2: Blocks, v: int, cfg: MultizConfig,
     return main, u1, u2
 
 
+def t_multic(l1: Blocks, l2: Blocks, v: int, cfg: MultizConfig,
+             sp=None) -> Tuple[Blocks, Blocks, Blocks]:
+    """multic with the multiz argv shape (tba.c:17-18: P=multic swaps the
+    aligner executable inside the same command strings)."""
+    mcfg = MulticConfig(
+        radius=cfg.radius, min_output_wid=cfg.min_output_wid, row2=cfg.row2
+    )
+    main: Blocks = []
+    u1: Blocks = []
+    u2: Blocks = []
+    multic(_cp(l1), _cp(l2), v, main.append, u1.append, u2.append,
+           cfg=mcfg, sp=sp)
+    return main, u1, u2
+
+
 def t_pair2tb(alis: Blocks, seq1: str, seq2: str) -> Blocks:
     out: Blocks = []
     work = _cp(alis)
@@ -165,6 +181,7 @@ class Roast:
         cfg: MultizConfig | None = None,
         suffix: str = ".sing.maf",
         sp=None,
+        aligner: str = "multiz",
     ):
         self.ref = ref
         self.tree = tree
@@ -173,6 +190,7 @@ class Roast:
         self.cfg = cfg or MultizConfig()
         self.suffix = suffix
         self.sp = sp
+        self._mz = t_multic if aligner == "multic" else t_multiz
         self.mz: Dict[int, Blocks] = {}  # MZ<id> accumulators
         self.left: Dict[int, Blocks] = {}  # left.maf<id>
         self.right: Dict[int, Blocks] = {}
@@ -234,7 +252,7 @@ class Roast:
         left_has = REF in n1
         right_has = REF in n2
         if not left_has and not right_has:
-            main, u1, u2 = t_multiz(
+            main, u1, u2 = self._mz(
                 self.left[nid], self.right[nid], 0, self.cfg, sp=self.sp
             )
             self.mz[nid].extend(main)
@@ -247,7 +265,7 @@ class Roast:
                 self.left[nid], self.right[nid] = (
                     self.right[nid], self.left[nid],
                 )
-            main, u1, u2 = t_multiz(
+            main, u1, u2 = self._mz(
                 self.left[nid], self.right[nid], 1, self.cfg, sp=self.sp
             )
             self.mz[nid].extend(main)
@@ -255,10 +273,11 @@ class Roast:
         self.right[nid] = u2
 
 def roast_run(ref, tree, pair_files, src_dir=".", cfg=None, suffix=".sing.maf",
-              sp=None) -> Blocks:
+              sp=None, aligner="multiz") -> Blocks:
     """Full roast pipeline (auto_mz.c:120-285): merge per guide-tree node,
     final projection onto the reference."""
-    eng = Roast(ref, tree, pair_files, src_dir, cfg, suffix, sp=sp)
+    eng = Roast(ref, tree, pair_files, src_dir, cfg, suffix, sp=sp,
+                aligner=aligner)
 
     def op(x: TreeNode, y: TreeNode, nid: int):
         # parseSpeciesTree appends leftover left/right.maf<id> after the
@@ -294,6 +313,7 @@ class Tba:
         suffix: str = ".sing.maf",
         ref: Optional[str] = None,
         sp=None,
+        aligner: str = "multiz",
     ):
         self.tree = tree
         self.pair_files = list(pair_files)
@@ -302,6 +322,8 @@ class Tba:
         self.suffix = suffix
         self.ref = ref
         self.sp = sp
+        # P=multic swaps the aligner inside the same commands (tba.c:17-18)
+        self._mz = t_multic if aligner == "multic" else t_multiz
         self.tba: Dict[int, Blocks] = {}
         self.left: Dict[int, Blocks] = {}
         self.right: Dict[int, Blocks] = {}
@@ -388,7 +410,7 @@ class Tba:
                     B, A = t_project(self.left[nid], n1, with_others=True, sp=sp)
                     if not single_right:
                         # mz B cmd 1 Y X > H (tba.c:185)
-                        H, Y, _X = t_multiz(B, blocks, 1, cfg, sp=sp)
+                        H, Y, _X = self._mz(B, blocks, 1, cfg, sp=sp)
                         # mp H n2 U > B (tba.c:186)
                         B, U = t_project(H, n2, with_others=True, sp=sp)
                         # mp right n2 C > D (tba.c:187)
@@ -399,7 +421,7 @@ class Tba:
                             (REF == n1 and i2 + 1 < len(n2s))
                             or (REF == n2 and i1 + 1 < len(n1s))
                         )
-                        main, E, F = t_multiz(D, B, 1, cfg, sp=sp)
+                        main, E, F = self._mz(D, B, 1, cfg, sp=sp)
                         if to_ref:
                             REFf = main  # "> REFf" (tba.c:189)
                         else:
@@ -422,7 +444,7 @@ class Tba:
                             L = t_get_covered(H, D2, sp=sp)
                             D, C = t_project(L, n1, with_others=True, sp=sp)
                         # mz B D 1 F E nohead >> tba<id> (tba.c:210)
-                        main, F, E = t_multiz(B, D, 1, cfg, sp=sp)
+                        main, F, E = self._mz(B, D, 1, cfg, sp=sp)
                         self.tba[nid].extend(main)
                         if REF is None or REF != n1:
                             H2, T = t_project(E, n1, with_others=True, sp=sp)
@@ -444,7 +466,7 @@ class Tba:
                         self.right[nid], n2, with_others=True, sp=sp
                     )
                     # mz D B 1 E F nohead >> tba<id> (tba.c:232)
-                    main, E, F = t_multiz(D, B, 1, cfg, sp=sp)
+                    main, E, F = self._mz(D, B, 1, cfg, sp=sp)
                     self.tba[nid].extend(main)
                     if REF is None or REF != n1:
                         H2, W = t_project(F, n2, with_others=True, sp=sp)
@@ -474,9 +496,10 @@ class Tba:
 
 
 def tba_run(tree, pair_files, src_dir=".", cfg=None, suffix=".sing.maf",
-            ref=None, sp=None) -> Blocks:
+            ref=None, sp=None, aligner="multiz") -> Blocks:
     """Full tba pipeline (tba.c:278-428); returns the destination blocks."""
-    eng = Tba(tree, pair_files, src_dir, cfg, suffix, ref=ref, sp=sp)
+    eng = Tba(tree, pair_files, src_dir, cfg, suffix, ref=ref, sp=sp,
+              aligner=aligner)
 
     def op(x: TreeNode, y: TreeNode, nid: int):
         had = (x.id >= 0, y.id >= 0)

@@ -79,3 +79,19 @@ def test_tba_output_is_threaded():
             [a.copy() for a in blocks], species, do_beautify=False, sp=sp
         )
         assert check_threading(proj) == [], f"not threaded for {species}"
+
+
+def test_tba_multic_4species():
+    """tba P=multic (tba.c:353-356 strstr dispatch; multic replaces multiz
+    inside the same command strings, tba.c:17-18)."""
+    sp = sc.init_scores70()
+    blocks = tba_run(TREE4, PAIRS4, src_dir=DATA, sp=sp, aligner="multic")
+    assert block_lines(render(blocks)) == expect("tbaP4.maf")
+
+
+def test_roast_multic_4species():
+    """roast P=multic (auto_mz.c:182-185)."""
+    sp = sc.init_scores70()
+    blocks = roast_run("human", TREE4, PAIRS4, src_dir=DATA, sp=sp,
+                       aligner="multic")
+    assert block_lines(render(blocks)) == expect("roastP4.maf")
