@@ -14,7 +14,7 @@ import subprocess
 import sys
 from typing import IO, List
 
-from .seqio import read_fasta
+from .seqio import read_fasta_spec as read_fasta
 
 BZ = "lastz"  # blastzWrapper.c:14
 VERSION = 11

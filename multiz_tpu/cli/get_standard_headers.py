@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import sys
 
-from ..seqio import read_fasta
+from ..seqio import read_fasta_spec as read_fasta
 
 
 def main(argv=None, out=None, err=None):

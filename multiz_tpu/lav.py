@@ -18,7 +18,7 @@ import numpy as np
 from . import scores as sc
 from .blocks import revcomp_text
 from .maf import Ali, Comp, read_maf, write_ali, write_end, write_start
-from .seqio import Contig, parse_header, read_fasta
+from .seqio import Contig, parse_header, read_fasta_spec as read_fasta
 
 DASH = ord("-")
 

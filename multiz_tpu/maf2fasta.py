@@ -19,7 +19,7 @@ import numpy as np
 
 from .blocks import maf_slice
 from .maf import Ali, DASH, pos2col, read_maf
-from .seqio import parse_header, read_fasta
+from .seqio import parse_header, read_fasta_spec as read_fasta
 
 VERSION = 3
 COL_WIDTH = 50

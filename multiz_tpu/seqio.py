@@ -99,6 +99,98 @@ def read_fasta(path: str) -> List[Contig]:
 
 
 # --------------------------------------------------------------------------
+# Filename spec syntax "seqfile{maskfile}[from,to]-" (seq.c:282-324)
+# --------------------------------------------------------------------------
+
+# dna_complement (seq.c:75-79): IUPAC map, everything unmapped -> ' '
+_DNA_COMPL = np.frombuffer(
+    (
+        " " * 64
+        + " TVGH  CD  M KN   YSA BWXR      "
+        + " tvgh  cd  m kn   ysa bwxr      "
+        + " " * 128
+    ).encode("latin-1"),
+    dtype=np.uint8,
+).copy()
+
+
+@dataclass
+class FnameSpec:
+    """Parsed ``seqfile{maskfile}[from,to]-`` (parse_fname,
+    seq.c:282-324). ``from_``/``to`` are 1-based inclusive; ``to`` is
+    None without a subrange."""
+
+    fname: str
+    from_: int = 1
+    to: int | None = None
+    maskname: str = ""
+    revcomp: bool = False
+
+
+def parse_fname(arg: str) -> FnameSpec:
+    spec = FnameSpec(fname=arg)
+    if spec.fname.endswith("-"):
+        spec.fname = spec.fname[:-1]
+        spec.revcomp = True
+    i = spec.fname.find("[")
+    if i >= 0:
+        m = re.match(r"\[(\d+),(\d+)\]", spec.fname[i:])
+        if not m:
+            raise ValueError(f"improper positions specification: {arg}")
+        spec.from_, spec.to = int(m.group(1)), int(m.group(2))
+        if spec.from_ <= 0 or spec.from_ > spec.to:
+            raise ValueError(f"improper positions specification: {arg}")
+        spec.fname = spec.fname[:i]
+    j = spec.fname.find("{")
+    if j >= 0:
+        k = spec.fname.find("}", j + 1)
+        if k >= 0:
+            spec.maskname = spec.fname[j + 1 : k]
+            spec.fname = spec.fname[:j]
+    return spec
+
+
+def read_fasta_spec(arg: str) -> List[Contig]:
+    """Open a sequence file by spec string with the reference's
+    semantics: a ``[from,to]`` subrange applies to the FIRST contig only
+    and stops reading after it (seq_read_fasta, seq.c:147-155,221-231);
+    a trailing ``-`` reverse-complements every contig read
+    (seq.c:234-237). The ``{maskfile}`` component is parsed but NOT
+    applied — the reference checks SEQ_HAS_MASK, which nothing sets
+    before the first read, so masking is inert in this version
+    (seq.c:238-240 vs seq.c:257); we parse and preserve the name only.
+
+    Works for FASTA and .nib files (seq_read_nib honors from/len,
+    seq.c:459-476)."""
+    spec = parse_fname(arg)
+    with open(spec.fname, "rb") as fh:
+        magic = fh.read(4)
+    is_nib = len(magic) == 4 and struct.unpack("<I", magic)[0] == NIB_MAGIC
+    if is_nib:
+        seq = read_nib(spec.fname)
+        contigs = [Contig(">" + os.path.basename(spec.fname), seq)]
+    else:
+        contigs = read_fasta(spec.fname)
+    if spec.to is not None:
+        first = contigs[0]
+        n = int(first.seq.shape[0])
+        if spec.from_ < 1 or spec.to > n or spec.to < spec.from_:
+            raise ValueError(
+                f"range [{spec.from_},{spec.to}] incommensurate with "
+                f"sequence [1,{n}]"
+            )
+        contigs = [
+            Contig(first.header, first.seq[spec.from_ - 1 : spec.to].copy())
+        ]
+    if spec.revcomp:
+        contigs = [
+            Contig(c.header, _DNA_COMPL[c.seq[::-1]].copy())
+            for c in contigs
+        ]
+    return contigs
+
+
+# --------------------------------------------------------------------------
 # UCSC .nib: 2 bases/byte; T/C/A/G/N = 0-4, high bit = repeat-masked
 # (nib.c:14-39)
 # --------------------------------------------------------------------------

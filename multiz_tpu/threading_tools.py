@@ -12,7 +12,7 @@ import numpy as np
 from . import scores as sc
 from .blocks import keep_ali, part_ali_by_pos, sort_by_top_start
 from .maf import Ali, Comp
-from .seqio import Contig, parse_header, read_fasta
+from .seqio import Contig, parse_header, read_fasta_spec as read_fasta
 
 WriteFn = Callable[[Ali], None]
 

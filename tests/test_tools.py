@@ -75,3 +75,33 @@ def test_pair2tb(monkeypatch):
     out = io.StringIO()
     cli_p2.main(["human.chimp.sing.maf", "human", "chimp"], out=out)
     assert out.getvalue() == read(os.path.join(EXPECT, "pair2tb.maf"))
+
+
+def test_seq_filename_spec(capsys):
+    """seqfile{mask}[from,to]- syntax (parse_fname, seq.c:282-324):
+    subrange limits reading to the first contig; trailing '-' revcomps;
+    {maskfile} parses but is inert in this version (seq.c:238 checks
+    SEQ_HAS_MASK which nothing sets before the first read)."""
+    import numpy as np
+
+    from multiz_tpu.cli import get_standard_headers as gsh
+    from multiz_tpu.seqio import read_fasta, read_fasta_spec
+
+    two = os.path.join(DATA, "two.fa")
+    for spec, golden in (
+        (two + "[3,8]", "spec_range.txt"),
+        (two + "-", "spec_rc.txt"),
+        (two + "{nomask}[3,8]-", "spec_all.txt"),
+    ):
+        out = io.StringIO()
+        gsh.main([spec], out=out)
+        assert out.getvalue() == read(os.path.join(EXPECT, golden)), spec
+    # content semantics: revcomp of the plain read (dna_complement table)
+    plain = read_fasta(two)
+    rc = read_fasta_spec(two + "-")
+    compl = dict(zip(b"ACGT", b"TGCA"))
+    want = bytes(compl[int(x)] for x in plain[0].seq[::-1])
+    assert rc[0].seq.tobytes() == want
+    sub = read_fasta_spec(two + "[3,8]")
+    assert len(sub) == 1
+    assert np.array_equal(sub[0].seq, plain[0].seq[2:8])
