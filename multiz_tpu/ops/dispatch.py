@@ -4,9 +4,11 @@ The reference runs every overlap DP serially in-process
 (multiz.c:149, mz_yama.c:50). Here the pipeline *plans* all DPs and
 executes them through one of:
 
-  * ``pallas``  — batched band-local Pallas TPU kernel
-                  (ops/yama_pallas.py); picked automatically when a TPU
+  * ``packed``  — sublane-packed band-local Pallas TPU kernel
+                  (ops/yama_pack.py); picked automatically when a TPU
                   backend is attached.
+  * ``pallas``  — the one-problem-per-sublane band-local kernel
+                  (ops/yama_pallas.py); kept for comparison.
   * ``jax``     — batched full-row XLA kernel (ops/yama_jax.py).
   * ``host``    — per-problem NumPy/C++ oracle loop (yama.py); used to
                   exercise the two-phase plan/execute/stitch machinery
@@ -45,6 +47,10 @@ def default_batch_fn() -> Optional[Callable]:
         from .yama_pallas import yama_batch_pallas
 
         return yama_batch_pallas
+    if mode == "packed":
+        from .yama_pack import yama_batch_packed
+
+        return yama_batch_packed
     # auto: use the Pallas path iff a real TPU is attached AND is the
     # default computation device (tests pin jax_default_device to a
     # virtual CPU even when the TPU plugin registered itself)
@@ -58,7 +64,7 @@ def default_batch_fn() -> Optional[Callable]:
     except Exception:
         return None
     if platform == "tpu":
-        from .yama_pallas import yama_batch_pallas
+        from .yama_pack import yama_batch_packed
 
-        return yama_batch_pallas
+        return yama_batch_packed
     return None

@@ -737,6 +737,10 @@ def yama_batch_packed(jobs, sp: sc.ScoreParams | None = None):
         key = (p, p, _pad8(K), _pad8(L))
         buckets.setdefault(key, []).append(idx)
 
+    # Phase 1: pack + dispatch EVERY bucket asynchronously (jax calls
+    # return immediately), so transfers and kernels of different buckets
+    # pipeline on device and the ~20ms tunnel sync latency is paid once.
+    pending = []
     for (m_pad, n_pad, Kp, Lp), idxs in buckets.items():
         nb = _round_up(len(idxs), NP)
         run = idxs + [idxs[-1]] * (nb - len(idxs))
@@ -768,7 +772,29 @@ def yama_batch_packed(jobs, sp: sc.ScoreParams | None = None):
             jnp.asarray(buf), ss_cat, go=go, ge=ge,
             m_pad=m_pad, n_pad=n_pad, Kp=Kp, Lp=Lp, B=nb,
         )
-        out_np = np.asarray(out)  # one D2H
+        pending.append((idxs, out))
+
+    if _os.environ.get("MZ_TIME"):
+        import time as _t
+
+        t0 = _t.perf_counter()
+        for _, out in pending:
+            jax.block_until_ready(out)
+        t1 = _t.perf_counter()
+        outs_np = [np.asarray(out) for _, out in pending]
+        t2 = _t.perf_counter()
+        print(
+            f"[MZ_TIME] device-sync={t1 - t0:.4f} d2h={t2 - t1:.4f} "
+            f"buckets={[(k, len(v)) for k, v in buckets.items()]}",
+            flush=True,
+        )
+        pending = [
+            (idxs, o) for (idxs, _), o in zip(pending, outs_np)
+        ]
+
+    # Phase 2: fetch + replay
+    for idxs, out in pending:
+        out_np = np.asarray(out)  # one D2H per bucket
         for slot, idx in enumerate(idxs):
             A, B, _, _ = jobs[idx]
             ne = (

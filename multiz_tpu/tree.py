@@ -348,13 +348,42 @@ class Tba:
             self.right.setdefault(nid, [])
         self.tba[nid] = []
 
+    def _prep_names(self, x: TreeNode, y: TreeNode, nid: int):
+        """The parse-time (name-only) half of tba_merge: move REF to the
+        front of whichever side contains it and decide the side swap
+        (tba.c:134-143). Mutates the parse nodes' name lists, so parents
+        see the reordered lists; returns snapshots + swap flag."""
+        if not x.names or not y.names:
+            raise ValueError("merge_tree: empty sub tree")
+        REF = self.ref
+        if len(x.names) == 1 and len(y.names) == 1:
+            return list(x.names), list(y.names), False
+        if REF is not None and REF in x.names:
+            x.names.remove(REF)
+            x.names.insert(0, REF)
+        swap = False
+        if REF is not None and REF not in x.names and REF in y.names:
+            y.names.remove(REF)
+            y.names.insert(0, REF)
+            x, y = y, x
+            swap = True
+        return list(x.names), list(y.names), swap
+
     def _merge(self, x: TreeNode, y: TreeNode, nid: int):
+        n1s, n2s, swap = self._prep_names(x, y, nid)
+        if swap:
+            self.left[nid], self.right[nid] = (
+                self.right[nid], self.left[nid],
+            )
+        self._merge_data(nid, n1s, n2s, swap)
+
+    def _merge_data(self, nid: int, n1s, n2s, swap: bool):
+        """The data half of tba_merge (tba.c:144-276); touches only this
+        node's left/right/tba entries, so same-depth merges can run
+        concurrently (see tba_run parallel=)."""
         sp = self.sp
         cfg = self.cfg
         REF = self.ref
-        n1s, n2s = x.names, y.names
-        if not n1s or not n2s:
-            raise ValueError("merge_tree: empty sub tree")
 
         # ---- leaf + leaf (tba.c:124-132) ----
         if len(n1s) == 1 and len(n2s) == 1:
@@ -368,21 +397,6 @@ class Tba:
                 proj, self._seq(n1s[0]), self._seq(n2s[0])
             )
             return
-
-        # ---- REF to the front of the left name list (tba.c:134-143) ----
-        if REF is not None and REF in x.names:
-            x.names.remove(REF)
-            x.names.insert(0, REF)
-        swap = False
-        if REF is not None and REF not in x.names and REF in y.names:
-            y.names.remove(REF)
-            y.names.insert(0, REF)
-            x, y = y, x
-            self.left[nid], self.right[nid] = (
-                self.right[nid], self.left[nid],
-            )
-            swap = True
-        n1s, n2s = x.names, y.names
 
         single_left = len(n1s) == 1
         single_right = len(n2s) == 1
@@ -496,17 +510,69 @@ class Tba:
 
 
 def tba_run(tree, pair_files, src_dir=".", cfg=None, suffix=".sing.maf",
-            ref=None, sp=None, aligner="multiz") -> Blocks:
-    """Full tba pipeline (tba.c:278-428); returns the destination blocks."""
+            ref=None, sp=None, aligner="multiz",
+            parallel: int | None = None) -> Blocks:
+    """Full tba pipeline (tba.c:278-428); returns the destination blocks.
+
+    With ``parallel`` > 1, independent tree merges (nodes that are not
+    ancestors of each other) run concurrently on a thread pool; outputs
+    are deterministic because each merge reads only its children's
+    results and the final blockset is the root node's accumulator (the
+    reference runs all merges strictly sequentially via
+    parseSpeciesTree, speciesTree.c:71-110)."""
     eng = Tba(tree, pair_files, src_dir, cfg, suffix, ref=ref, sp=sp,
               aligner=aligner)
 
-    def op(x: TreeNode, y: TreeNode, nid: int):
+    if not parallel or parallel <= 1:
+        def op(x: TreeNode, y: TreeNode, nid: int):
+            had = (x.id >= 0, y.id >= 0)
+            eng._merge(x, y, nid)
+            if had[0] or had[1]:
+                eng.tba[nid].extend(eng.left.get(nid, []))
+                eng.tba[nid].extend(eng.right.get(nid, []))
+
+        _, last = parse_species_tree(
+            eng.tree, op, on_internal=eng._on_internal
+        )
+        return eng.tba[last - 1]
+
+    # ---- two-phase schedule: record merges at parse time (name-only
+    # mutations happen here, sequentially), execute concurrently ----
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    tasks = []
+
+    def record(x: TreeNode, y: TreeNode, nid: int):
         had = (x.id >= 0, y.id >= 0)
-        eng._merge(x, y, nid)
+        n1s, n2s, swap = eng._prep_names(x, y, nid)
+        tasks.append((nid, x.id, y.id, n1s, n2s, swap, had))
+
+    _, last = parse_species_tree(eng.tree, record, on_internal=None)
+
+    events = {t[0]: threading.Event() for t in tasks}
+
+    def runner(task):
+        nid, x_id, y_id, n1s, n2s, swap, had = task
+        if x_id >= 0:
+            events[x_id].wait()
+        if y_id >= 0:
+            events[y_id].wait()
+        left = eng.tba.pop(x_id) if x_id >= 0 else []
+        right = eng.tba.pop(y_id) if y_id >= 0 else []
+        if swap:
+            left, right = right, left
+        eng.left[nid] = left
+        eng.right[nid] = right
+        eng.tba[nid] = []
+        eng._merge_data(nid, n1s, n2s, swap)
         if had[0] or had[1]:
             eng.tba[nid].extend(eng.left.get(nid, []))
             eng.tba[nid].extend(eng.right.get(nid, []))
+        events[nid].set()
 
-    _, last = parse_species_tree(eng.tree, op, on_internal=eng._on_internal)
+    with ThreadPoolExecutor(max_workers=parallel) as ex:
+        futs = [ex.submit(runner, t) for t in tasks]
+        for f in futs:
+            f.result()  # propagate exceptions
     return eng.tba[last - 1]

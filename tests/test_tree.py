@@ -95,3 +95,11 @@ def test_roast_multic_4species():
     blocks = roast_run("human", TREE4, PAIRS4, src_dir=DATA, sp=sp,
                        aligner="multic")
     assert block_lines(render(blocks)) == expect("roastP4.maf")
+
+
+def test_tba_parallel_schedule_deterministic():
+    """Same-depth tree merges on a thread pool produce the identical
+    block stream as the sequential schedule (SURVEY.md §2.5 last row)."""
+    sp = sc.init_scores70()
+    blocks = tba_run(TREE4, PAIRS4, src_dir=DATA, sp=sp, parallel=4)
+    assert block_lines(render(blocks)) == expect("tba4.maf")
