@@ -56,7 +56,7 @@ from .yama_jax import NEG_HUGE, _pad_to
 
 import os as _os
 
-ROW_CHUNK = int(_os.environ.get("MZ_ROW_CHUNK", "16"))
+ROW_CHUNK = int(_os.environ.get("MZ_ROW_CHUNK", "32"))
 _PERF_KNOB = _os.environ.get("MZ_PERF_KNOB", "")  # bisection experiments
 CW = 256  # chunk window lanes
 NP = 8  # problems per sublane group
@@ -509,18 +509,11 @@ def _tb_kernel(w0_ref, lb_ref, rb_ref, mn_ref, last_ref, flags_ref,
         row, col, node, k, reg = c
         return ((row > 0) | (col > 0)) & (k < steps)
 
-    si8 = lax.broadcasted_iota(jnp.int32, (8, CW), 0)
-    jl8 = lax.broadcasted_iota(jnp.int32, (8, CW), 1)
-
     def body(c):
         row, col, node, k, reg = c
         W0 = w0_ref[0, 0, row // ROW_CHUNK]
         j = col + 1 - W0
-        # int8 memrefs need 8-aligned sublane offsets: load the aligned
-        # 8-row block and mask-extract (row % 8, j)
-        blk = flags_ref[
-            0, pl.ds(pl.multiple_of((row >> 3) << 3, 8), 8), :
-        ].astype(jnp.int32)
+        rowv = flags_ref[0, pl.ds(row, 1), :]  # int32: any sublane offset
         inb = (
             (col >= lb_ref[0, 0, row])
             & (col <= rb_ref[0, 0, row])
@@ -528,9 +521,7 @@ def _tb_kernel(w0_ref, lb_ref, rb_ref, mn_ref, last_ref, flags_ref,
             & (j < CW)
         )
         st = jnp.where(
-            inb,
-            jnp.sum(jnp.where((si8 == (row & 7)) & (jl8 == j), blk, 0)),
-            0,
+            inb, jnp.sum(jnp.where(jlane == j, rowv, 0)), 0
         )
         reg = jnp.where(lane == (k & 127), node, reg)
 
@@ -574,7 +565,7 @@ def _pallas_traceback(flags_b, W0c, LB, RB, mn, last, mp1, mp_rows, srows):
             smem(2),  # mn
             smem(8),  # last
             pl.BlockSpec((1, mp_rows, CW), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),  # flags
+                         memory_space=pltpu.VMEM),  # flags (int32)
         ],
         out_specs=[
             pl.BlockSpec((1, srows, 128), lambda b: (b, 0, 0),
@@ -653,8 +644,13 @@ def _device_batch(buf, ss_cat, go, ge, m_pad, n_pad, Kp, Lp, B):
         bases_g, bst_g, astream_g, dp0_g, f0_g, go, ge,
         nchunks, npadl, G,
     )
-    # flags (G, nchunks, RC, NP, CW) -> per problem (rows, CW)
-    flags_b = flags.transpose(0, 3, 1, 2, 4).reshape(B, mp_rows, CW)
+    # flags (G, nchunks, RC, NP, CW) -> per problem (rows, CW); int32 so
+    # the traceback kernel can row-load at arbitrary sublane offsets
+    flags_b = (
+        flags.transpose(0, 3, 1, 2, 4)
+        .reshape(B, mp_rows, CW)
+        .astype(jnp.int32)
+    )
     last_b = last.reshape(B, 1, 8)
 
     # row-extend the bands for the traceback's per-row SMEM reads

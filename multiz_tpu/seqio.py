@@ -38,6 +38,12 @@ _H6 = re.compile(r"^>([^:]+):([^:]+):(\d+)-(\d+):(.):(\d+)")
 _H5 = re.compile(r"^>([^:]+):([^:]+):(\d+):(.):(\d+)")
 
 
+def _atoi(s: str) -> int:
+    """C atoi: optional sign + leading digits, 0 otherwise."""
+    m = re.match(r"\s*([+-]?\d+)", s)
+    return int(m.group(1)) if m else 0
+
+
 def parse_header(fn: str, contig: Contig) -> ContigMeta:
     """parseHeader (multi_util.c:311-322) + filename fallback."""
     h = contig.header
@@ -54,18 +60,20 @@ def parse_header(fn: str, contig: Contig) -> ContigMeta:
             m.group(1), m.group(2), start,
             start + int(contig.seq.shape[0]) - 1, m.group(4), int(m.group(5)),
         )
-    # 17-field ENCODE/MSA headers (multi_util.c:261-299) then plain fallback
+    # 17-field ENCODE/MSA headers (multi_util.c:261-299) then plain
+    # fallback; the C requires EXACTLY 17 '|' separators (i == 17,
+    # multi_util.c:277) and uses atoi (leading digits, else 0)
     fields = h[1:].split("|")
-    if len(fields) >= 18:
+    if len(fields) == 18:
         a = fields
         if all(a[i] != "." for i in (0, 7, 8, 9, 10, 11)):
-            start = int(a[8])
+            start = _atoi(a[8])
             return ContigMeta(
                 a[0], a[7], start, start + int(contig.seq.shape[0]) - 1,
-                a[11][0], int(a[10]),
+                a[11][0], _atoi(a[10]),
             )
         if all(a[i] != "." for i in (0, 15, 13, 11)):
-            end = int(a[13])
+            end = _atoi(a[13])
             return ContigMeta(a[0], a[15], 1, end, a[11][0], end)
     n = int(contig.seq.shape[0])
     base = fn

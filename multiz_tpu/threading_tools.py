@@ -17,11 +17,16 @@ from .seqio import Contig, parse_header, read_fasta_spec as read_fasta
 WriteFn = Callable[[Ali], None]
 
 
-def _single_row_block(meta, seq_slice: np.ndarray, start: int) -> Ali:
+def _single_row_block(meta, seq_slice: np.ndarray, start: int,
+                      size: int | None = None) -> Ali:
+    """``size`` may exceed the text when the header-declared end lies
+    past the real sequence: the C sets C.size from header arithmetic but
+    its %s-printed text stops at the buffer's NUL (maftop2tb.c:135-142),
+    emitting an inconsistent block. Replicated for byte-equality."""
     comp = Comp(
         src=f"{meta.name}.{meta.contig}",
         start=start,
-        size=int(seq_slice.shape[0]),
+        size=int(seq_slice.shape[0]) if size is None else size,
         strand="+",
         src_size=meta.size,
         text=seq_slice.copy(),
@@ -43,7 +48,8 @@ def get_maf_between(
         s = contig.seq
         start, end = meta.start, meta.end
         if not cp_list:
-            write(_single_row_block(meta, s[: end - start + 1], start - 1))
+            write(_single_row_block(meta, s[: end - start + 1], start - 1,
+                                    size=end - start + 1))
             break
         wk: List[Ali] = []
         rest: List[Ali] = []
@@ -60,7 +66,8 @@ def get_maf_between(
                 rest.append(a)
         cp_list = rest
         if not wk:
-            write(_single_row_block(meta, s[: end - start + 1], start - 1))
+            write(_single_row_block(meta, s[: end - start + 1], start - 1,
+                                    size=end - start + 1))
             continue
         A = sort_by_top_start(wk)
         flag1 = start - 1
@@ -80,7 +87,7 @@ def get_maf_between(
             write(
                 _single_row_block(
                     meta, s[flag1 - start + 1 : flag1 - start + 1 + (end - flag1)],
-                    flag1,
+                    flag1, size=end - flag1,
                 )
             )
         bkup = wk + bkup

@@ -216,3 +216,65 @@ def simulate(cfg: SimConfig, outdir: str) -> None:
             "human", sp, cfg.contig, blocks, cfg.ref_len, len(genome),
             score_fn,
         )
+
+
+def _fasta_multi(path: str, name: str, contigs) -> None:
+    """Multi-contig FASTA: contigs = [(contig_name, seq array), ...]."""
+    with open(path, "w") as fh:
+        for contig, seq in contigs:
+            fh.write(f">{name}:{contig}:1-{len(seq)}:+:{len(seq)}\n")
+            s = seq.tobytes().decode()
+            for i in range(0, len(s), 60):
+                fh.write(s[i : i + 60] + "\n")
+
+
+def simulate_multi(cfg: SimConfig, outdir: str, n_contigs: int = 2) -> None:
+    """Like simulate() but with ``n_contigs`` chromosomes per species:
+    exercises the per-chromosome work split (seperate_cp_wk,
+    multi_util.c:816-843) and multi-contig projection paths."""
+    from multiz_tpu import maf
+    from multiz_tpu import scores as sc
+
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.default_rng(cfg.seed)
+    sc.init_scores70()
+
+    def score_fn(texts):
+        return sc.score_range_texts(texts, 0, len(texts[0]))
+
+    refs = []
+    for ci in range(n_contigs):
+        refs.append((f"chr{ci + 1}", ACGT[rng.integers(0, 4, cfg.ref_len)]))
+    _fasta_multi(os.path.join(outdir, "human"), "human", refs)
+
+    for sp, div in zip(cfg.species, cfg.divergence):
+        sp_contigs = []
+        alis = []
+        for contig, ref in refs:
+            blocks, genome = _simulate_pair(ref, div, cfg, rng)
+            sp_contigs.append((contig, genome))
+            for b in sorted(blocks, key=lambda b: b.ref_start):
+                rsize = int(np.count_nonzero(b.ref_text != DASH))
+                ssize = int(np.count_nonzero(b.sp_text != DASH))
+                if rsize == 0 or ssize == 0:
+                    continue
+                if b.strand == "+":
+                    sstart = b.sp_plus_start
+                else:
+                    sstart = len(genome) - (b.sp_plus_start + b.sp_len)
+                alis.append(maf.Ali(
+                    comps=[
+                        maf.Comp(f"human.{contig}", b.ref_start, rsize,
+                                 "+", cfg.ref_len, b.ref_text.copy()),
+                        maf.Comp(f"{sp}.{contig}", sstart, ssize,
+                                 b.strand, len(genome), b.sp_text.copy()),
+                    ],
+                    score=score_fn([b.ref_text, b.sp_text]),
+                ))
+        _fasta_multi(os.path.join(outdir, sp), sp, sp_contigs)
+        with open(os.path.join(outdir, f"human.{sp}.orig.maf"), "w") as fh:
+            fh.write("##maf version=1 scoring=blastz\n")
+            fh.write("# simulated pairwise alignment\n")
+            for a in alis:
+                fh.write(maf.format_ali(a))
+            fh.write("##eof maf\n")

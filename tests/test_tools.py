@@ -105,3 +105,26 @@ def test_seq_filename_spec(capsys):
     sub = read_fasta_spec(two + "[3,8]")
     assert len(sub) == 1
     assert np.array_equal(sub[0].seq, plain[0].seq[2:8])
+
+
+def test_pair2tb_encode_headers():
+    """17-separator ENCODE/MSA FASTA headers (parseMSAHeader,
+    multi_util.c:261-299): form 1 (fields 7/8/10/11) on the reference
+    side, form 2 (fields 15/13/11) on the species side."""
+    from multiz_tpu.cli import pair2tb as p2t_cli
+
+    out = io.StringIO()
+    p2t_cli.main(
+        [
+            os.path.join(DATA, "human.chimp.sing.maf"),
+            os.path.join(DATA, "human_encode"),
+            os.path.join(DATA, "chimp_encode"),
+        ],
+        out=out,
+    )
+    want = read(os.path.join(EXPECT, "pair2tb_encode.maf"))
+    got = out.getvalue()
+    strip = lambda t: [  # noqa: E731
+        l for l in t.split("\n") if not l.startswith("#")
+    ]
+    assert strip(got) == strip(want)
