@@ -240,6 +240,13 @@ class PwUAliFiles:
 create_pws = PwUAliFiles
 
 
+def form_name_list(s: str) -> List[str]:
+    """formNameList (align_util.c:344-366): splits on spaces building
+    the list head-first, i.e. REVERSED relative to the input order —
+    which fixes create_pws's pair-file ordering."""
+    return list(reversed(s.split()))
+
+
 def _find_pair_file(pws: PwUAliFiles, name_a: str, name_b: str):
     """The pair-file lookup loop shared by connectionAgreement2 and
     mark_infered_pws (align_util.c:556-570)."""
