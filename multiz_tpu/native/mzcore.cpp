@@ -195,9 +195,263 @@ bad:
     return nullptr;
 }
 
+// yama_into(A, M, K, B, N, L, LB, RB, ss_cat, cat, go, ge, out) -> nedit
+//   Full banded DP + traceback + replay on host: the same integer
+//   recurrence as multiz_tpu/yama.py yama_numpy (per-column statistics
+//   collapse the reference's K*L inner loops, mz_yama.c:123-225, into
+//   a handful of products), with identical C>=D>I tie-breaking.
+//   A: uint8 (M, K); B: uint8 (N, L); LB/RB: int64 (M+1,);
+//   ss_cat: int32 (6, 6); cat: int8[256]; out: uint8 (M+N, K+L).
+PyObject* yama_into(PyObject*, PyObject* args) {
+    PyObject *ao, *bo, *lbo, *rbo, *sso, *cato, *oo;
+    Py_ssize_t M, K, N, L;
+    long go, ge;
+    if (!PyArg_ParseTuple(args, "OnnOnnOOOOllO", &ao, &M, &K, &bo, &N, &L,
+                          &lbo, &rbo, &sso, &cato, &go, &ge, &oo))
+        return nullptr;
+    Buf A(ao, PyBUF_SIMPLE), B(bo, PyBUF_SIMPLE), LBb(lbo, PyBUF_SIMPLE),
+        RBb(rbo, PyBUF_SIMPLE), SS(sso, PyBUF_SIMPLE), CAT(cato, PyBUF_SIMPLE),
+        O(oo, PyBUF_WRITABLE);
+    if (!A.ok || !B.ok || !LBb.ok || !RBb.ok || !SS.ok || !CAT.ok || !O.ok)
+        return nullptr;
+    if (A.len() < M * K || B.len() < N * L ||
+        LBb.len() < (Py_ssize_t)((M + 1) * sizeof(int64_t)) ||
+        RBb.len() < (Py_ssize_t)((M + 1) * sizeof(int64_t)) ||
+        SS.len() < (Py_ssize_t)(36 * sizeof(int32_t)) || CAT.len() < 256 ||
+        O.len() < (M + N) * (K + L)) {
+        PyErr_SetString(PyExc_ValueError, "yama_into: bad buffer sizes");
+        return nullptr;
+    }
+    const uint8_t* a = A.u8();
+    const uint8_t* b = B.u8();
+    const int64_t* LB = reinterpret_cast<const int64_t*>(LBb.u8());
+    const int64_t* RB = reinterpret_cast<const int64_t*>(RBb.u8());
+    const int32_t* ss = SS.i32();
+    const int8_t* c8 = reinterpret_cast<const int8_t*>(CAT.u8());
+    constexpr int64_t MININT = -(int64_t(1) << 30);
+
+    if ((M + 1) > (int64_t)1 << 28 || (N + 1) > (int64_t)1 << 28 ||
+        (double)(M + 1) * (double)(N + 1) > 2.0e9) {
+        PyErr_SetString(PyExc_ValueError, "yama_into: problem too large");
+        return nullptr;
+    }
+
+    // ---- per-column stats (yama.py column_stats) ----
+    auto stats = [&](const uint8_t* x, Py_ssize_t ncol, Py_ssize_t nrow,
+                     int32_t* hist, int64_t* n0, int64_t* n1, int64_t* pr) {
+        for (Py_ssize_t i = 1; i <= ncol; ++i) {
+            const uint8_t* col = x + (i - 1) * nrow;
+            int32_t hc[6] = {0, 0, 0, 0, 0, 0};
+            int64_t dash = 0;
+            for (Py_ssize_t r = 0; r < nrow; ++r) {
+                hc[c8[col[r]]] += 1;
+                dash += (col[r] == DASH);
+            }
+            for (int k = 0; k < 6; ++k) hist[i * 6 + k] = hc[k];
+            n1[i] = dash;
+            n0[i] = (int64_t)nrow - dash;
+            if (i == 1) {
+                pr[4 + 0] = n0[1];
+                pr[4 + 1] = n1[1];
+                pr[4 + 2] = 0;
+                pr[4 + 3] = 0;
+            } else {
+                const uint8_t* prev = col - nrow;
+                int64_t p[4] = {0, 0, 0, 0};
+                for (Py_ssize_t r = 0; r < nrow; ++r)
+                    p[((prev[r] == DASH) << 1) | (col[r] == DASH)] += 1;
+                for (int k = 0; k < 4; ++k) pr[i * 4 + k] = p[k];
+            }
+        }
+    };
+    int32_t* histA = new int32_t[(M + 1) * 6]();
+    int32_t* histB = new int32_t[(N + 1) * 6]();
+    int64_t* a0 = new int64_t[M + 1]();
+    int64_t* a1 = new int64_t[M + 1]();
+    int64_t* pa = new int64_t[(M + 1) * 4]();
+    int64_t* b0 = new int64_t[N + 1]();
+    int64_t* b1 = new int64_t[N + 1]();
+    int64_t* pb = new int64_t[(N + 1) * 4]();
+    stats(a, M, K, histA, a0, a1, pa);
+    stats(b, N, L, histB, b0, b1, pb);
+    // substitution projection: sr[col][c] = sum_c' ss[c][c'] * histB[col][c']
+    int64_t* sr = new int64_t[(N + 1) * 6]();
+    for (Py_ssize_t j = 1; j <= N; ++j)
+        for (int c = 0; c < 6; ++c) {
+            int64_t s = 0;
+            for (int d = 0; d < 6; ++d)
+                s += (int64_t)ss[c * 6 + d] * histB[j * 6 + d];
+            sr[j * 6 + c] = s;
+        }
+
+    int64_t* dpC = new int64_t[N + 1];
+    int64_t* dpD = new int64_t[N + 1];
+    int64_t* dpI = new int64_t[N + 1];
+    uint8_t* flags = new uint8_t[(M + 1) * (N + 1)]();
+    for (Py_ssize_t j = 0; j <= N; ++j) dpC[j] = dpD[j] = dpI[j] = MININT;
+    dpC[0] = dpD[0] = dpI[0] = 0;
+    {
+        int64_t acc = 0;
+        for (Py_ssize_t j = 1; j <= RB[0]; ++j) {
+            acc += b0[j];
+            dpI[j] = -acc * (int64_t)K * ge;
+            flags[j] = FLAG_I << 4;
+        }
+    }
+    int64_t lastC = MININT, lastD = MININT, lastI = MININT;
+
+    for (Py_ssize_t row = 1; row <= M; ++row) {
+        const int64_t lb = LB[row], rb = RB[row];
+        const int64_t lbm1 = LB[row - 1];
+        const int64_t lbm2 = row > 1 ? LB[row - 2] : 0;
+        const int64_t pa0 = pa[row * 4 + 0], pa1 = pa[row * 4 + 1],
+                      pa2 = pa[row * 4 + 2], pa3 = pa[row * 4 + 3];
+        const int64_t a0r = a0[row], a1r = a1[row];
+        const int32_t* hA = histA + row * 6;
+        uint8_t* frow = flags + row * (N + 1);
+        int64_t diagC, diagD, diagI;  // previous row's value at col-1
+        if (lb >= 1) {
+            diagC = dpC[lb - 1];
+            diagD = dpD[lb - 1];
+            diagI = dpI[lb - 1];
+            if (lbm1 > lb - 1) diagC = diagD = diagI = MININT;
+        } else {
+            diagC = diagD = diagI = MININT;
+        }
+        int64_t prevC = MININT, prevD = MININT, Iprev = MININT;
+        const bool live = row < M;
+        for (int64_t c = lb; c <= rb; ++c) {
+            const int64_t upC = dpC[c], upD = dpD[c], upI = dpI[c];
+            const bool inner = c > 0 && c < N;
+            // ---- D node ----
+            int64_t xs = upC, ys = upD, zs = upI;
+            if (row > 1 && inner) {
+                if (c > lbm2) xs -= go * (pa0 * b0[c] + pa2 * (int64_t)L);
+                ys -= go * pa2 * (int64_t)L;
+            }
+            if (inner && c > lbm1) zs -= go * a0r * (int64_t)L;
+            uint8_t fd;
+            int64_t Dv;
+            if (xs >= ys && xs >= zs) { Dv = xs; fd = FLAG_C; }
+            else if (ys > zs) { Dv = ys; fd = FLAG_D; }
+            else { Dv = zs; fd = FLAG_I; }
+            Dv -= a0r * (int64_t)L * ge;
+            // ---- C node ----
+            const int64_t pb0c = pb[c * 4 + 0], pb1c = pb[c * 4 + 1],
+                          pb2c = pb[c * 4 + 2], pb3c = pb[c * 4 + 3];
+            xs = diagC; ys = diagD; zs = diagI;
+            const bool gt1 = c > 1;
+            if (row > 1 && gt1) {
+                if (c > lbm2 + 1)
+                    xs -= go * (pa0 * pb1c + pa1 * (pb0c + pb2c)
+                                + pa2 * (pb1c + pb3c) + pa3 * pb2c);
+                ys -= go * (pa1 * b0[c] + pa2 * b1[c] + pa3 * b0[c]);
+            }
+            if (gt1 && c > lbm1 + 1)
+                zs -= go * (a0r * (pb1c + pb3c) + a1r * pb2c);
+            uint8_t fc = 0;
+            int64_t Cv = MININT;
+            if (c > lbm1) {
+                int64_t sub = 0;
+                const int64_t* src = sr + c * 6;
+                for (int d = 0; d < 6; ++d) sub += hA[d] * src[d];
+                if (xs >= ys && xs >= zs) { Cv = xs; fc = FLAG_C; }
+                else if (ys > zs) { Cv = ys; fc = FLAG_D; }
+                else { Cv = zs; fc = FLAG_I; }
+                Cv += sub;
+            }
+            // ---- I node ----
+            uint8_t fi = 0;
+            int64_t Iv = MININT;
+            if (c > lb) {
+                int64_t xI = 0, yI = 0, zI = 0;
+                if (live) {
+                    xI = go * (a0r * (pb0c + pb2c) + a1r * pb2c);
+                    yI = go * (int64_t)K * b0[c];
+                    zI = go * (int64_t)K * pb2c;
+                }
+                int64_t x = prevC - (c > lbm1 + 1 ? xI : 0);
+                int64_t y = prevD - yI;
+                int64_t z = Iprev - (c > lb + 1 ? zI : 0);
+                if (x >= y && x >= z) { Iv = x; fi = FLAG_C; }
+                else if (y > z) { Iv = y; fi = FLAG_D; }
+                else { Iv = z; fi = FLAG_I; }
+                Iv -= b0[c] * (int64_t)K * ge;
+                Iprev = Iv;
+            } else {
+                Iprev = MININT;
+            }
+            frow[c] = fc | (fd << 2) | (fi << 4);
+            // roll the diagonal and store
+            diagC = dpC[c]; diagD = dpD[c]; diagI = dpI[c];
+            dpC[c] = Cv; dpD[c] = Dv; dpI[c] = Iv;
+            prevC = Cv; prevD = Dv;
+        }
+        lastC = dpC[rb]; lastD = dpD[rb]; lastI = dpI[rb];
+    }
+    if (M == 0) lastC = lastD = lastI = MININT;
+
+    // ---- traceback (newest-first) + replay into out ----
+    uint8_t* script = new uint8_t[M + N];
+    const Py_ssize_t ld = N + 1;
+    uint8_t node;
+    if (lastC >= lastD && lastC >= lastI) node = FLAG_C;
+    else if (lastD >= lastI) node = FLAG_D;
+    else node = FLAG_I;
+    Py_ssize_t row = M, col = N, nedit = 0;
+    bool bad = false;
+    while (row > 0 || col > 0) {
+        if (row < 0 || col < 0 || nedit >= M + N) { bad = true; break; }
+        uint8_t st = flags[row * ld + col];
+        script[nedit++] = node;
+        if (node == FLAG_I) { col -= 1; node = st >> 4; }
+        else if (node == FLAG_D) { row -= 1; node = (st >> 2) & SELECT_CID; }
+        else if (node == FLAG_C) { row -= 1; col -= 1; node = st & SELECT_CID; }
+        else { bad = true; break; }
+    }
+    Py_ssize_t result = -1;
+    if (!bad) {
+        uint8_t* out = O.u8();
+        const Py_ssize_t W = K + L;
+        Py_ssize_t ai = 0, bi = 0;
+        for (Py_ssize_t t = 0; t < nedit && !bad; ++t) {
+            uint8_t op = script[nedit - 1 - t];
+            uint8_t* r = out + t * W;
+            if (op != FLAG_I) {
+                if (ai >= M) { bad = true; break; }
+                std::memcpy(r, a + ai * K, K);
+                ++ai;
+            } else {
+                std::memset(r, DASH, K);
+            }
+            if (op != FLAG_D) {
+                if (bi >= N) { bad = true; break; }
+                std::memcpy(r + K, b + bi * L, L);
+                ++bi;
+            } else {
+                std::memset(r + K, DASH, L);
+            }
+        }
+        if (!bad && (ai != M || bi != N)) bad = true;
+        if (!bad) result = nedit;
+    }
+    delete[] histA; delete[] histB; delete[] a0; delete[] a1; delete[] pa;
+    delete[] b0; delete[] b1; delete[] pb; delete[] sr;
+    delete[] dpC; delete[] dpD; delete[] dpI; delete[] flags;
+    delete[] script;
+    if (result < 0) {
+        PyErr_SetString(PyExc_ValueError,
+                        "yama_into: error generating edit script");
+        return nullptr;
+    }
+    return PyLong_FromSsize_t(result);
+}
+
 PyMethodDef methods[] = {
     {"colstats_into", colstats_into, METH_VARARGS,
      "per-column stats into pre-allocated int32 buffers"},
+    {"yama_into", yama_into, METH_VARARGS,
+     "full banded DP + traceback + replay; returns nedit"},
     {"traceback_into", traceback_into, METH_VARARGS,
      "edit-script extraction (newest-first); returns nedit"},
     {"replay_into", replay_into, METH_VARARGS,

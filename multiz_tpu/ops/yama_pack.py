@@ -789,6 +789,10 @@ def yama_batch_packed(jobs, sp: sc.ScoreParams | None = None):
         ]
 
     # Phase 2: fetch + replay
+    if _os.environ.get("MZ_TIME"):
+        import time as _t
+
+        _t0 = _t.perf_counter()
     for idxs, out in pending:
         out_np = np.asarray(out)  # one D2H per bucket
         for slot, idx in enumerate(idxs):
@@ -815,4 +819,9 @@ def yama_batch_packed(jobs, sp: sc.ScoreParams | None = None):
                 results[idx] = merged
             else:
                 results[idx] = _replay(script_rev[::-1].copy(), A, B)
+    if _os.environ.get("MZ_TIME"):
+        print(
+            f"[MZ_TIME] fetch+replay={_t.perf_counter() - _t0:.4f}",
+            flush=True,
+        )
     return results

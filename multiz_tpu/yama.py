@@ -136,6 +136,10 @@ def yama_numpy(
     A: (M, K) uint8 column-major alignment (A[i] is alignment column i+1).
     B: (N, L) uint8. LB/RB: (M+1,) int band bounds over columns of B.
     Returns the merged column-major alignment (M_new, K+L) uint8.
+
+    Dispatches to the native C++ DP (mzcore.yama_into) when available;
+    the pure-NumPy implementation below is the oracle and the
+    MULTIZ_TPU_NO_NATIVE=1 fallback — both bit-identical.
     """
     if sp is None:
         sp = sc.current
@@ -144,6 +148,21 @@ def yama_numpy(
     LB = np.asarray(LB, dtype=np.int64)
     RB = np.asarray(RB, dtype=np.int64)
     _check_band(LB, RB, M, N)
+
+    if _mzcore is not None and hasattr(_mzcore, "yama_into") and M >= 1:
+        out = np.empty((M + N, K + L), dtype=np.uint8)
+        try:
+            nedit = _mzcore.yama_into(
+                np.ascontiguousarray(A), M, K,
+                np.ascontiguousarray(B), N, L,
+                np.ascontiguousarray(LB[: M + 1]),
+                np.ascontiguousarray(RB[: M + 1]),
+                np.ascontiguousarray(sp.ss_cat.astype(np.int32)),
+                sc.BYTE2CAT, int(sp.gap_open), int(sp.gap_extend), out,
+            )
+            return out[:nedit]
+        except ValueError as e:
+            raise YamaError(str(e))
 
     go = int(sp.gap_open)
     ge = int(sp.gap_extend)

@@ -44,7 +44,10 @@ def test_roundtrip_sing():
 
 def test_roundtrip_expect():
     for f in os.listdir(EXPECT):
-        if f.endswith(".maf"):
+        # pair2tb_encode.maf reproduces a reference quirk block whose
+        # claimed size exceeds its text (maftop2tb.c:135-142); neither
+        # parser accepts it back (maf.c:186-211 would fatal too)
+        if f.endswith(".maf") and f != "pair2tb_encode.maf":
             roundtrip(os.path.join(EXPECT, f))
 
 

@@ -42,3 +42,25 @@ def test_band_checks():
     bad[0] = 1
     with pytest.raises(Y.YamaError):
         Y.yama_numpy(A, B, bad, RB)
+
+
+def test_native_yama_matches_python():
+    """mzcore.yama_into (C++ host DP) is bit-identical to the pure-NumPy
+    oracle across random banded problems."""
+    import multiz_tpu.yama as Y
+    from multiz_tpu.ops.synth import synth_jobs
+
+    if Y._mzcore is None or not hasattr(Y._mzcore, "yama_into"):
+        pytest.skip("native runtime unavailable")
+    native = Y._mzcore
+    jobs = synth_jobs(24, m_lo=10, m_hi=200, k_lo=1, k_hi=5, radius=12,
+                      seed=8)
+    try:
+        for A, B, LB, RB in jobs:
+            got = Y.yama_numpy(A, B, LB, RB)
+            Y._mzcore = None
+            want = Y.yama_numpy(A, B, LB, RB)
+            Y._mzcore = native
+            assert got.shape == want.shape and (got == want).all()
+    finally:
+        Y._mzcore = native
