@@ -229,6 +229,7 @@ PyObject* yama_into(PyObject*, PyObject* args) {
     const int32_t* ss = SS.i32();
     const int8_t* c8 = reinterpret_cast<const int8_t*>(CAT.u8());
     constexpr int64_t MININT = -(int64_t(1) << 30);
+    PyThreadState* _save = PyEval_SaveThread();  // pure C below
 
     if ((M + 1) > (int64_t)1 << 28 || (N + 1) > (int64_t)1 << 28 ||
         (double)(M + 1) * (double)(N + 1) > 2.0e9) {
@@ -439,6 +440,7 @@ PyObject* yama_into(PyObject*, PyObject* args) {
     delete[] b0; delete[] b1; delete[] pb; delete[] sr;
     delete[] dpC; delete[] dpD; delete[] dpI; delete[] flags;
     delete[] script;
+    PyEval_RestoreThread(_save);
     if (result < 0) {
         PyErr_SetString(PyExc_ValueError,
                         "yama_into: error generating edit script");

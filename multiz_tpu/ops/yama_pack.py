@@ -733,6 +733,31 @@ def yama_batch_packed(jobs, sp: sc.ScoreParams | None = None):
         key = (p, p, _pad8(K), _pad8(L))
         buckets.setdefault(key, []).append(idx)
 
+    # Tiny buckets go to the native host DP: the device's fixed per-call
+    # cost (compile-cache lookup, transfer latency, sync) dominates below
+    # ~1M band cells, where the C++ host path finishes in a few ms.
+    host_route = int(_os.environ.get("MZ_HOST_ROUTE_CELLS", "1000000"))
+    small = []
+    for key in list(buckets.keys()):
+        idxs = buckets[key]
+        cells = sum(
+            int(
+                np.minimum(
+                    np.asarray(jobs[i][3])[: jobs[i][0].shape[0] + 1],
+                    jobs[i][1].shape[0],
+                ).sum()
+                - np.asarray(jobs[i][2])[: jobs[i][0].shape[0] + 1].sum()
+            )
+            + jobs[i][0].shape[0]
+            for i in idxs
+        )
+        if cells < host_route:
+            small.extend(idxs)
+            del buckets[key]
+    for idx in small:
+        A, B, LB, RB = jobs[idx]
+        results[idx] = yama_numpy(A, B, LB, RB, sp=sp)
+
     # Phase 1: pack + dispatch EVERY bucket asynchronously (jax calls
     # return immediately), so transfers and kernels of different buckets
     # pipeline on device and the ~20ms tunnel sync latency is paid once.
