@@ -307,6 +307,18 @@ def _kernel(bases_ref, bst_ref, a_ref, dp0_ref, f0_ref,
     b1w = bw[BS_B1]
     pb0w, pb1w, pb2w, pb3w = (bw[BS_PB0 + i] for i in range(4))
 
+    # ---- per-chunk cumsums for the I-chain increments (column data:
+    # zI = go*K*pb2, e = ge*K*b0; K is a per-problem constant). The
+    # per-row Pofs is rebased from these with one masked extraction,
+    # replacing a log2(CW)-step prefix sum per row. Exact within the
+    # band: Pofs[j] = S1[j]-S1[lb+1]+e[lb+1] reproduces the masked
+    # cumsum for lb+1 <= j <= rb, and out-of-band lanes are masked.
+    Kv = a_ref[0, 0, 0][:, SL_K : SL_K + 1]  # (NP, 1), row-invariant
+    e_col = b0w * Kv * ge_
+    zIe = go_ * Kv * pb2w + e_col
+    S1 = prefix_sum(zIe)
+    S2 = prefix_sum(e_col)
+
     for i in range(ROW_CHUNK):
         row = rc * ROW_CHUNK + i
         arow = a_ref[0, 0, i]  # (NP, ASLOTS)
@@ -377,13 +389,20 @@ def _kernel(bases_ref, bst_ref, a_ref, dp0_ref, f0_ref,
         xI = jnp.where(live & (col > lbm1 + 1),
                        go_ * (a0 * (pb0w + pb2w) + a1 * pb2w), 0)
         yI = jnp.where(live, go_ * K * b0w, 0)
-        zI = jnp.where(live, go_ * K * pb2w, 0)
-        e = b0w * K * ge_
-        chain = (col >= lb + 1) & (col <= rb)
-        szw = jnp.where(chain, jnp.where(col > lb + 1, zI, 0) + e, 0)
+        e = e_col
         xv = shift1(C_row, minint) - xI
         yv = shift1(D_row, minint) - yI
-        Pofs = prefix_sum(szw)
+        lb1sel = col == (lb + 1)
+        base1 = jnp.sum(jnp.where(lb1sel, S1, 0), axis=1, keepdims=True)
+        base2 = jnp.sum(jnp.where(lb1sel, S2, 0), axis=1, keepdims=True)
+        e_lb1 = jnp.sum(
+            jnp.where(lb1sel, e_col, 0), axis=1, keepdims=True
+        )
+        Pofs = jnp.where(
+            col >= lb + 1,
+            jnp.where(live, S1 - base1, S2 - base2) + e_lb1,
+            0,
+        )
         from_y = xv < yv
         xy = jnp.maximum(xv, yv)
         V = xy - e + Pofs
@@ -673,9 +692,16 @@ def _device_batch(buf, ss_cat, go, ge, m_pad, n_pad, Kp, Lp, B):
         ],
         axis=1,
     ).astype(jnp.uint8)
-    return jnp.concatenate(
-        [ne8, scripts.reshape(B, srows * 128).astype(jnp.uint8)], axis=1
+    # ops are 2-bit: pack 4 per byte — the tunnel's D2H is ~32MB/s, so
+    # payload size is the fetch cost
+    q = scripts.reshape(B, srows * 32, 4).astype(jnp.uint8)
+    packed = (
+        q[:, :, 0]
+        | (q[:, :, 1] << 2)
+        | (q[:, :, 2] << 4)
+        | (q[:, :, 3] << 6)
     )
+    return jnp.concatenate([ne8, packed], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -828,7 +854,10 @@ def yama_batch_packed(jobs, sp: sc.ScoreParams | None = None):
                 | (int(out_np[slot, 2]) << 16)
                 | (int(out_np[slot, 3]) << 24)
             )
-            script_rev = out_np[slot, 4 : 4 + ne]
+            pk = out_np[slot, 4 : 4 + (ne + 3) // 4]
+            script_rev = (
+                (pk[:, None] >> (np.arange(4, dtype=np.uint8) * 2)) & 3
+            ).astype(np.uint8).reshape(-1)[:ne]
             M, K = A.shape
             N, L = B.shape
             if _mzcore is not None:
