@@ -508,102 +508,132 @@ def _pallas_dp(bases, bst, astream, dp0, f0, go, ge,
 # ---------------------------------------------------------------------------
 
 
-def _tb_kernel(w0_ref, lb_ref, rb_ref, mn_ref, last_ref, flags_ref,
-               script_ref, ned_ref, *, mp1, srows):
+def _tb_kernel(w0_ref, mn_ref, last_ref, flags_ref,
+               script_ref, ned_ref, *, srows):
+    """NP interleaved traceback walks per grid step: the per-step
+    dependency chain (load -> extract -> branch) is latency-bound, so
+    independent walks hide each other's latency. Out-of-band flag
+    lanes inside a row's window are stored as 0 by the DP kernel, so
+    the only validity check needed is the window range (the reference
+    reads its zero-initialized full matrix the same way,
+    mz_yama.c:77-94,257-291)."""
     SELECT_CID = 3
-    lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    jlane = lax.broadcasted_iota(jnp.int32, (1, CW), 1)
-    M = mn_ref[0, 0, 0]
-    N = mn_ref[0, 0, 1]
-    lastC = last_ref[0, 0, 0]
-    lastD = last_ref[0, 0, 1]
-    lastI = last_ref[0, 0, 2]
-    node0 = jnp.where(
-        (lastC >= lastD) & (lastC >= lastI), jnp.int32(FLAG_C),
-        jnp.where(lastD >= lastI, jnp.int32(FLAG_D), jnp.int32(FLAG_I)),
-    )
+    lane8 = lax.broadcasted_iota(jnp.int32, (NP, 128), 1)
+    sub8 = lax.broadcasted_iota(jnp.int32, (NP, 128), 0)
+    si8 = lax.broadcasted_iota(jnp.int32, (8, CW), 0)
+    jl8 = lax.broadcasted_iota(jnp.int32, (8, CW), 1)
     steps = srows * 128
 
+    Ms = [mn_ref[0, p, 0] for p in range(NP)]
+    Ns = [mn_ref[0, p, 1] for p in range(NP)]
+    node0 = []
+    for p in range(NP):
+        lc = last_ref[0, p, 0]
+        ld = last_ref[0, p, 1]
+        li = last_ref[0, p, 2]
+        node0.append(jnp.where(
+            (lc >= ld) & (lc >= li), jnp.int32(FLAG_C),
+            jnp.where(ld >= li, jnp.int32(FLAG_D), jnp.int32(FLAG_I)),
+        ))
+
     def cond(c):
-        row, col, node, k, reg = c
-        return ((row > 0) | (col > 0)) & (k < steps)
+        it, rows, cols, nodes, ks, reg = c
+        alive = (rows[0] > 0) | (cols[0] > 0)
+        for p in range(1, NP):
+            alive = alive | (rows[p] > 0) | (cols[p] > 0)
+        return alive & (it < steps)
 
     def body(c):
-        row, col, node, k, reg = c
-        W0 = w0_ref[0, 0, row // ROW_CHUNK]
-        j = col + 1 - W0
-        rowv = flags_ref[0, pl.ds(row, 1), :]  # int32: any sublane offset
-        inb = (
-            (col >= lb_ref[0, 0, row])
-            & (col <= rb_ref[0, 0, row])
-            & (j >= 0)
-            & (j < CW)
-        )
-        st = jnp.where(
-            inb, jnp.sum(jnp.where(jlane == j, rowv, 0)), 0
-        )
-        reg = jnp.where(lane == (k & 127), node, reg)
+        it, rows, cols, nodes, ks, reg = c
+        nrows, ncols, nnodes, nks = [], [], [], []
+        for p in range(NP):
+            row, col, node, k = rows[p], cols[p], nodes[p], ks[p]
+            done = (row <= 0) & (col <= 0)
+            W0 = w0_ref[0, p, row // ROW_CHUNK]
+            j = col + 1 - W0
+            blk = flags_ref[
+                p, pl.ds(pl.multiple_of((row >> 3) << 3, 8), 8), :
+            ].astype(jnp.int32)
+            st = jnp.where(
+                (j >= 0) & (j < CW),
+                jnp.sum(
+                    jnp.where((si8 == (row & 7)) & (jl8 == j), blk, 0)
+                ),
+                0,
+            )
+            reg = jnp.where(
+                (sub8 == p) & (lane8 == (k & 127)) & (~done), node, reg
+            )
 
-        @pl.when((k & 127) == 127)
-        def _(reg=reg, k=k):
-            script_ref[0, pl.ds(k >> 7, 1), :] = reg
+            @pl.when((~done) & ((k & 127) == 127))
+            def _(reg=reg, k=k, p=p):
+                script_ref[0, p, pl.ds(k >> 7, 1), :] = reg[p : p + 1, :]
 
-        is_i = node == FLAG_I
-        is_d = node == FLAG_D
-        nrow = jnp.where(is_i, row, row - 1)
-        ncol = jnp.where(is_d, col, col - 1)
-        nnode = jnp.where(
-            is_i, st >> 4,
-            jnp.where(is_d, (st >> 2) & SELECT_CID, st & SELECT_CID),
-        )
-        return (nrow, ncol, nnode, k + 1, reg)
+            is_i = node == FLAG_I
+            is_d = node == FLAG_D
+            nnode = jnp.where(
+                is_i, st >> 4,
+                jnp.where(is_d, (st >> 2) & SELECT_CID, st & SELECT_CID),
+            )
+            nrows.append(jnp.where(done, row, jnp.where(is_i, row, row - 1)))
+            ncols.append(jnp.where(done, col, jnp.where(is_d, col, col - 1)))
+            nnodes.append(jnp.where(done, node, nnode))
+            nks.append(jnp.where(done, k, k + 1))
+        return (it + 1, tuple(nrows), tuple(ncols), tuple(nnodes),
+                tuple(nks), reg)
 
-    row, col, node, k, reg = lax.while_loop(
+    zero = jnp.int32(0)
+    _, rows, cols, nodes, ks, reg = lax.while_loop(
         cond, body,
-        (M, N, node0, jnp.int32(0), jnp.zeros((1, 128), jnp.int32)),
+        (zero, tuple(Ms), tuple(Ns), tuple(node0),
+         tuple(zero for _ in range(NP)),
+         jnp.zeros((NP, 128), jnp.int32)),
     )
-    script_ref[0, pl.ds(k >> 7, 1), :] = reg
-    ned_ref[0, 0:1, :] = jnp.full((1, 8), k, jnp.int32)
+    for p in range(NP):
+        script_ref[0, p, pl.ds(ks[p] >> 7, 1), :] = reg[p : p + 1, :]
+        ned_ref[0, p : p + 1, :] = jnp.full((1, 8), ks[p], jnp.int32)
 
 
-def _pallas_traceback(flags_b, W0c, LB, RB, mn, last, mp1, mp_rows, srows):
-    """flags_b (B, mp_rows, CW) int8 -> (scripts (B, srows, 128) int8,
-    nedit (B, 1, 8) int32)."""
+def _pallas_traceback(flags_b, W0c, mn, last, mp_rows, srows):
+    """flags_b (B, mp_rows, CW) int8 -> (scripts (B, srows, 128) int32,
+    nedit (B, NP->1, 8) int32); NP problems share one grid step."""
     B = flags_b.shape[0]
+    G = B // NP
     nchunks = W0c.shape[1]
-    smem = lambda n: pl.BlockSpec(  # noqa: E731
-        (1, 1, n), lambda b: (b, 0, 0), memory_space=pltpu.SMEM
-    )
     scripts, ned = pl.pallas_call(
-        functools.partial(_tb_kernel, mp1=mp1, srows=srows),
-        grid=(B,),
+        functools.partial(_tb_kernel, srows=srows),
+        grid=(G,),
         in_specs=[
-            smem(nchunks),  # W0c
-            smem(mp_rows),  # LB (row-padded)
-            smem(mp_rows),  # RB
-            smem(2),  # mn
-            smem(8),  # last
-            pl.BlockSpec((1, mp_rows, CW), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),  # flags (int32)
+            pl.BlockSpec((1, NP, nchunks), lambda g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),  # W0c
+            pl.BlockSpec((1, NP, 2), lambda g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),  # mn
+            pl.BlockSpec((1, NP, 8), lambda g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),  # last
+            pl.BlockSpec((NP, mp_rows, CW), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),  # flags (int8)
         ],
         out_specs=[
-            pl.BlockSpec((1, srows, 128), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, NP, srows, 128), lambda g: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, NP, 8), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             # int32: int8 stores at unaligned dynamic sublane offsets
-            # don't lower; narrowed to uint8 after the kernel
-            jax.ShapeDtypeStruct((B, srows, 128), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, 8), jnp.int32),
+            # don't lower; narrowed + packed after the kernel
+            jax.ShapeDtypeStruct((G, NP, srows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((G, NP, 8), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=INTERPRET,
-    )(W0c[:, None, :], LB[:, None, :], RB[:, None, :], mn, last, flags_b)
-    return scripts, ned
+    )(
+        W0c.reshape(G, NP, nchunks), mn.reshape(G, NP, 2),
+        last.reshape(G, NP, 8), flags_b,
+    )
+    return scripts.reshape(B, srows, 128), ned.reshape(B, 1, 8)
 
 
 @functools.partial(
@@ -663,26 +693,13 @@ def _device_batch(buf, ss_cat, go, ge, m_pad, n_pad, Kp, Lp, B):
         bases_g, bst_g, astream_g, dp0_g, f0_g, go, ge,
         nchunks, npadl, G,
     )
-    # flags (G, nchunks, RC, NP, CW) -> per problem (rows, CW); int32 so
-    # the traceback kernel can row-load at arbitrary sublane offsets
-    flags_b = (
-        flags.transpose(0, 3, 1, 2, 4)
-        .reshape(B, mp_rows, CW)
-        .astype(jnp.int32)
-    )
+    # flags (G, nchunks, RC, NP, CW) -> per problem (rows, CW), int8
+    flags_b = flags.transpose(0, 3, 1, 2, 4).reshape(B, mp_rows, CW)
     last_b = last.reshape(B, 1, 8)
-
-    # row-extend the bands for the traceback's per-row SMEM reads
-    LBx = jnp.concatenate(
-        [LB, jnp.tile(LB[:, -1:], (1, mp_rows - mp1))], axis=1
-    )
-    RBx = jnp.concatenate(
-        [RB, jnp.tile(RB[:, -1:], (1, mp_rows - mp1))], axis=1
-    )
     mn = jnp.stack([M, N], axis=-1).astype(jnp.int32)[:, None, :]
     srows = -(-(m_pad + n_pad + 1) // 128)
     scripts, nedits = _pallas_traceback(
-        flags_b, W0c, LBx, RBx, mn, last_b, mp1, mp_rows, srows
+        flags_b, W0c, mn, last_b, mp_rows, srows
     )
     ne = nedits[:, 0, 0]
     ne8 = jnp.stack(
