@@ -229,13 +229,24 @@ PyObject* yama_into(PyObject*, PyObject* args) {
     const int32_t* ss = SS.i32();
     const int8_t* c8 = reinterpret_cast<const int8_t*>(CAT.u8());
     constexpr int64_t MININT = -(int64_t(1) << 30);
-    PyThreadState* _save = PyEval_SaveThread();  // pure C below
 
-    if ((M + 1) > (int64_t)1 << 28 || (N + 1) > (int64_t)1 << 28 ||
-        (double)(M + 1) * (double)(N + 1) > 2.0e9) {
+    // Traceback storage is band-sized, exactly like the reference's
+    // tback_size = sum over rows of RB-LB+1 (mz_yama.c:60-77): a 50kb x
+    // 50kb R=30 problem needs ~3MB, not (M+1)*(N+1) = 2.5GB. Size checks
+    // (and any PyErr) happen BEFORE the GIL is released.
+    int64_t tb_cells = 0;
+    for (Py_ssize_t r = 0; r <= M; ++r) {
+        if (RB[r] < LB[r] || LB[r] < 0 || RB[r] > N) {
+            PyErr_SetString(PyExc_ValueError, "yama_into: bad band");
+            return nullptr;
+        }
+        tb_cells += RB[r] - LB[r] + 1;
+    }
+    if (tb_cells > (int64_t)1 << 36) {  // 64 GiB of flags: plainly hopeless
         PyErr_SetString(PyExc_ValueError, "yama_into: problem too large");
         return nullptr;
     }
+    PyThreadState* _save = PyEval_SaveThread();  // pure C below
 
     // ---- per-column stats (yama.py column_stats) ----
     auto stats = [&](const uint8_t* x, Py_ssize_t ncol, Py_ssize_t nrow,
@@ -288,7 +299,18 @@ PyObject* yama_into(PyObject*, PyObject* args) {
     int64_t* dpC = new int64_t[N + 1];
     int64_t* dpD = new int64_t[N + 1];
     int64_t* dpI = new int64_t[N + 1];
-    uint8_t* flags = new uint8_t[(M + 1) * (N + 1)]();
+    // Row-indexed band traceback: trow[r] + col addresses the flag of
+    // in-band cell (r, col) (the reference's tback_row[row] = tbp - LB[row],
+    // mz_yama.c:77-91).
+    uint8_t* flags = new uint8_t[tb_cells]();
+    uint8_t** trow = new uint8_t*[M + 1];
+    {
+        uint8_t* tbp = flags;
+        for (Py_ssize_t r = 0; r <= M; ++r) {
+            trow[r] = tbp - LB[r];
+            tbp += RB[r] - LB[r] + 1;
+        }
+    }
     for (Py_ssize_t j = 0; j <= N; ++j) dpC[j] = dpD[j] = dpI[j] = MININT;
     dpC[0] = dpD[0] = dpI[0] = 0;
     {
@@ -296,7 +318,7 @@ PyObject* yama_into(PyObject*, PyObject* args) {
         for (Py_ssize_t j = 1; j <= RB[0]; ++j) {
             acc += b0[j];
             dpI[j] = -acc * (int64_t)K * ge;
-            flags[j] = FLAG_I << 4;
+            trow[0][j] = FLAG_I << 4;
         }
     }
     int64_t lastC = MININT, lastD = MININT, lastI = MININT;
@@ -309,7 +331,7 @@ PyObject* yama_into(PyObject*, PyObject* args) {
                       pa2 = pa[row * 4 + 2], pa3 = pa[row * 4 + 3];
         const int64_t a0r = a0[row], a1r = a1[row];
         const int32_t* hA = histA + row * 6;
-        uint8_t* frow = flags + row * (N + 1);
+        uint8_t* frow = trow[row];
         int64_t diagC, diagD, diagI;  // previous row's value at col-1
         if (lb >= 1) {
             diagC = dpC[lb - 1];
@@ -394,7 +416,6 @@ PyObject* yama_into(PyObject*, PyObject* args) {
 
     // ---- traceback (newest-first) + replay into out ----
     uint8_t* script = new uint8_t[M + N];
-    const Py_ssize_t ld = N + 1;
     uint8_t node;
     if (lastC >= lastD && lastC >= lastI) node = FLAG_C;
     else if (lastD >= lastI) node = FLAG_D;
@@ -402,8 +423,9 @@ PyObject* yama_into(PyObject*, PyObject* args) {
     Py_ssize_t row = M, col = N, nedit = 0;
     bool bad = false;
     while (row > 0 || col > 0) {
-        if (row < 0 || col < 0 || nedit >= M + N) { bad = true; break; }
-        uint8_t st = flags[row * ld + col];
+        if (row < 0 || col < 0 || nedit >= M + N ||
+            col < LB[row] || col > RB[row]) { bad = true; break; }
+        uint8_t st = trow[row][col];
         script[nedit++] = node;
         if (node == FLAG_I) { col -= 1; node = st >> 4; }
         else if (node == FLAG_D) { row -= 1; node = (st >> 2) & SELECT_CID; }
@@ -438,7 +460,7 @@ PyObject* yama_into(PyObject*, PyObject* args) {
     }
     delete[] histA; delete[] histB; delete[] a0; delete[] a1; delete[] pa;
     delete[] b0; delete[] b1; delete[] pb; delete[] sr;
-    delete[] dpC; delete[] dpD; delete[] dpI; delete[] flags;
+    delete[] dpC; delete[] dpD; delete[] dpI; delete[] flags; delete[] trow;
     delete[] script;
     PyEval_RestoreThread(_save);
     if (result < 0) {

@@ -552,27 +552,41 @@ def tba_run(tree, pair_files, src_dir=".", cfg=None, suffix=".sing.maf",
 
     events = {t[0]: threading.Event() for t in tasks}
 
+    failed: dict[int, BaseException] = {}
+
     def runner(task):
+        # events are set in the finally block even on failure — otherwise a
+        # raising merge would leave its dependents waiting forever and the
+        # executor shutdown would hang the whole run.
         nid, x_id, y_id, n1s, n2s, swap, had = task
-        if x_id >= 0:
-            events[x_id].wait()
-        if y_id >= 0:
-            events[y_id].wait()
-        left = eng.tba.pop(x_id) if x_id >= 0 else []
-        right = eng.tba.pop(y_id) if y_id >= 0 else []
-        if swap:
-            left, right = right, left
-        eng.left[nid] = left
-        eng.right[nid] = right
-        eng.tba[nid] = []
-        eng._merge_data(nid, n1s, n2s, swap)
-        if had[0] or had[1]:
-            eng.tba[nid].extend(eng.left.get(nid, []))
-            eng.tba[nid].extend(eng.right.get(nid, []))
-        events[nid].set()
+        try:
+            if x_id >= 0:
+                events[x_id].wait()
+            if y_id >= 0:
+                events[y_id].wait()
+            if x_id in failed or y_id in failed:
+                raise RuntimeError(f"tba merge {nid}: upstream merge failed")
+            left = eng.tba.pop(x_id) if x_id >= 0 else []
+            right = eng.tba.pop(y_id) if y_id >= 0 else []
+            if swap:
+                left, right = right, left
+            eng.left[nid] = left
+            eng.right[nid] = right
+            eng.tba[nid] = []
+            eng._merge_data(nid, n1s, n2s, swap)
+            if had[0] or had[1]:
+                eng.tba[nid].extend(eng.left.get(nid, []))
+                eng.tba[nid].extend(eng.right.get(nid, []))
+        except BaseException as e:
+            failed[nid] = e
+            raise
+        finally:
+            events[nid].set()
 
     with ThreadPoolExecutor(max_workers=parallel) as ex:
         futs = [ex.submit(runner, t) for t in tasks]
+        # tasks are recorded bottom-up, so the first failing future in
+        # submission order carries the root-cause exception.
         for f in futs:
-            f.result()  # propagate exceptions
+            f.result()
     return eng.tba[last - 1]

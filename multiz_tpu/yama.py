@@ -160,7 +160,9 @@ def yama_numpy(
                 np.ascontiguousarray(sp.ss_cat.astype(np.int32)),
                 sc.BYTE2CAT, int(sp.gap_open), int(sp.gap_extend), out,
             )
-            return out[:nedit]
+            # copy: results are retained pipeline-wide; a view would pin
+            # the full worst-case (M+N, K+L) backing buffer.
+            return out[:nedit].copy()
         except ValueError as e:
             raise YamaError(str(e))
 

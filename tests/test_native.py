@@ -97,6 +97,35 @@ def test_replay_bad_script_raises(mz):
         mz.replay_into(script, 4, False, A, 2, 1, B, 2, 1, out)
 
 
+def test_yama_large_band(mz):
+    """50kb x 50kb at radius 30: O(band) traceback memory (mz_yama.c:60-77),
+    not (M+1)*(N+1) — this problem was refused before the band tback."""
+    rng = np.random.default_rng(3)
+    M = N = 50_000
+    A = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(M, 1))
+    B = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(N, 1))
+    i = np.arange(M + 1, dtype=np.int64)
+    LB = np.maximum(0, i - 30)
+    RB = np.minimum(N, i + 30)
+    RB[M] = N
+    out = Y.yama_numpy(A, B, LB, RB)
+    assert max(M, N) <= out.shape[0] <= M + N
+    # the merged matrix must project back to the inputs exactly
+    np.testing.assert_array_equal(out[out[:, 0] != Y.DASH, 0], A[:, 0])
+    np.testing.assert_array_equal(out[out[:, 1] != Y.DASH, 1], B[:, 0])
+
+
+def test_yama_oversized_raises(mz):
+    """The too-large guard must raise cleanly (with the GIL held)."""
+    M = N = 300_000  # full band: ~9e10 flag cells > the 2^36 cap
+    A = np.full((M, 1), ord("A"), np.uint8)
+    B = np.full((N, 1), ord("C"), np.uint8)
+    LB = np.zeros(M + 1, dtype=np.int64)
+    RB = np.full(M + 1, N, dtype=np.int64)
+    with pytest.raises(Y.YamaError, match="too large"):
+        Y.yama_numpy(A, B, LB, RB)
+
+
 def test_yama_native_vs_pure(mz, monkeypatch):
     """Full DP: force pure path and diff against the native-backed path."""
     jobs = synth_jobs(8, m_lo=20, m_hi=80, radius=10, seed=13)
