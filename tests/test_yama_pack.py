@@ -1,0 +1,83 @@
+"""Interpret-mode CI for the production packed Pallas kernel.
+
+Runs the full ops/yama_pack.py path — device-side prep from packed
+texts, the sublane-packed band-local DP, the in-kernel traceback, the
+2-bit script packing, and host replay — in Pallas interpret mode on
+the CPU backend, asserting bit-equality against the host oracle (the
+bit-exactness bar of the reference's tie-breaking, mz_yama.c:138-154).
+The on-chip path runs the identical program; only the executor differs.
+"""
+
+import numpy as np
+import pytest
+
+from multiz_tpu import yama as Y
+from multiz_tpu.ops import yama_pack as YP
+from multiz_tpu.ops.synth import diag_band, synth_block, synth_jobs
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(YP, "INTERPRET", True)
+    # force every job through the kernel (default routes tiny buckets to
+    # the native host DP)
+    monkeypatch.setenv("MZ_HOST_ROUTE_CELLS", "0")
+
+
+def _assert_jobs_equal(jobs, got):
+    assert len(got) == len(jobs)
+    for i, ((A, B, LB, RB), out) in enumerate(zip(jobs, got)):
+        want = Y.yama_numpy(A, B, LB, RB)
+        assert out.shape == want.shape, f"job {i}: shape {out.shape} != {want.shape}"
+        np.testing.assert_array_equal(out, want, err_msg=f"job {i}")
+
+
+def test_fuzz_bit_equal():
+    """Mixed M/N/K/L at the production radius; 10 jobs over 2+ buckets,
+    with duplicate padding slots (bucket sizes not multiples of 8)."""
+    jobs = synth_jobs(
+        10, m_lo=20, m_hi=120, k_lo=1, k_hi=4, radius=30, seed=11
+    )
+    _assert_jobs_equal(jobs, YP.yama_batch_packed(jobs))
+
+
+def test_narrow_band_chunks():
+    """Several ROW_CHUNKs with a moving window base (radius 8 diagonal
+    band on a 150-column problem exercises the chunk spill/fill path)."""
+    rng = np.random.default_rng(5)
+    jobs = []
+    for _ in range(8):
+        M = int(rng.integers(120, 160))
+        N = int(rng.integers(120, 160))
+        A = synth_block(rng, M, 2)
+        B = synth_block(rng, N, 3)
+        LB, RB = diag_band(M, N, 8)
+        jobs.append((A, B, LB, RB))
+    _assert_jobs_equal(jobs, YP.yama_batch_packed(jobs))
+
+
+def test_fits_packed_fallback():
+    """A band wider than the chunk window must fail fits_packed and fall
+    back to the oracle, mixed into a batch that otherwise runs packed."""
+    rng = np.random.default_rng(9)
+    M = N = 300
+    A = synth_block(rng, M, 1)
+    B = synth_block(rng, N, 1)
+    LB = np.zeros(M + 1, dtype=np.int64)  # full band: RB - W0 > CW-1
+    RB = np.full(M + 1, N, dtype=np.int64)
+    assert not YP.fits_packed(LB, RB, M, N)
+    wide = (A, B, LB, RB)
+    jobs = [wide] + synth_jobs(4, m_lo=24, m_hi=48, radius=30, seed=21)
+    assert YP.fits_packed(
+        np.asarray(jobs[1][2]), np.asarray(jobs[1][3]),
+        jobs[1][0].shape[0], jobs[1][1].shape[0],
+    )
+    _assert_jobs_equal(jobs, YP.yama_batch_packed(jobs))
+
+
+def test_host_route_small_buckets(monkeypatch):
+    """With the default routing threshold, tiny buckets bypass the device
+    entirely and still produce oracle-identical results."""
+    monkeypatch.setenv("MZ_HOST_ROUTE_CELLS", "1000000")
+    jobs = synth_jobs(4, m_lo=16, m_hi=32, radius=30, seed=2)
+    _assert_jobs_equal(jobs, YP.yama_batch_packed(jobs))
