@@ -20,7 +20,7 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     cmd = f"roast.v{VERSION}"
     args_line = " ".join(argv)
-    cfg, ref, suffix, aligner = parse_tree_args(
+    cfg, ref, suffix, aligner, mode = parse_tree_args(
         argv, cmd, allow=("R", "M", "E", "P", "X", "C", "T")
     )
     if ref is None:
@@ -37,6 +37,16 @@ def main(argv=None):
             pair_files = [l.rstrip("\n") for l in fh if l.strip()]
     else:
         pair_files = argv[1:-1]
+
+    if mode is not None:
+        from ..tree import roast_plan
+
+        out = sys.stdout if mode == "-" else sys.stderr
+        for line in roast_plan(ref, tree, pair_files, suffix=suffix,
+                               aligner=aligner):
+            out.write(line + "\n")
+        if mode == "-":
+            return 0  # dry run: plan only
 
     sp = sc.init_scores70()
     blocks = roast_run(ref, tree, pair_files, src_dir=".", cfg=cfg,

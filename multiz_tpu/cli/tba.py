@@ -24,8 +24,10 @@ def parse_tree_args(argv, cmd, allow=("R", "M", "E", "P", "X")):
     ref = None
     suffix = ".sing.maf"
     aligner = "multiz"
-    if argv and argv[0] in ("+", "-"):
-        argv.pop(0)  # verbose/dry-run flags are no-ops in-process
+    # '-' = dry-run (print the merge plan, execute nothing); '+' = verbose
+    # (print the plan, then run) — the reference's only plan-inspection
+    # facility (speciesTree.c:27-34, tba.c:336-347)
+    mode = argv.pop(0) if argv and argv[0] in ("+", "-") else None
     while argv and argv[0][:1] in allow and argv[0][1:2] == "=":
         key, val = argv[0][0], argv[0][2:]
         if key == "E":
@@ -46,19 +48,17 @@ def parse_tree_args(argv, cmd, allow=("R", "M", "E", "P", "X")):
             cfg.radius = int(val)
         elif key == "M":
             cfg.min_output_wid = int(val)
-        elif key == "T":
-            pass  # temp dir: meaningless in-process
-        elif key == "C":
-            pass  # accepted, passed to multiz in reference; unused there
+        # T= (temp dir) and C= (passed through to multiz, where it is
+        # unused) are accepted no-ops, as in the reference
         argv.pop(0)
-    return cfg, ref, suffix, aligner
+    return cfg, ref, suffix, aligner, mode
 
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     cmd = f"tba.v{VERSION}"
     args_line = " ".join(argv)
-    cfg, ref, suffix, aligner = parse_tree_args(argv, cmd)
+    cfg, ref, suffix, aligner, mode = parse_tree_args(argv, cmd)
     if len(argv) < 3:
         raise SystemExit(
             f"{cmd}: args: [+-] [R=?] [M=?] [E=?] [P=?] [X=?] "
@@ -71,6 +71,16 @@ def main(argv=None):
             pair_files = [l.rstrip("\n") for l in fh if l.strip()]
     else:
         pair_files = argv[1:-1]
+
+    if mode is not None:
+        from ..tree import tba_plan
+
+        out = sys.stdout if mode == "-" else sys.stderr
+        for line in tba_plan(tree, pair_files, ref=ref, suffix=suffix,
+                             aligner=aligner):
+            out.write(line + "\n")
+        if mode == "-":
+            return 0  # dry run: plan only
 
     sp = sc.init_scores70()
     blocks = tba_run(tree, pair_files, src_dir=".", cfg=cfg, suffix=suffix,

@@ -28,8 +28,8 @@ class MultizConfig:
     dp_fn: Callable = yama_numpy
     # When set, multiz runs two-phase (SURVEY.md §7 step 4): the merge
     # scan plans every overlap DP, ``batch_fn(jobs, sp=...)`` executes
-    # them as batched device launches (e.g. ops.yama_pallas.
-    # yama_batch_pallas), and outputs are stitched back in scan order.
+    # them as batched device launches (e.g. ops.yama_pack.
+    # yama_batch_packed), and outputs are stitched back in scan order.
     batch_fn: Optional[Callable] = None
 
 

@@ -7,8 +7,6 @@ executes them through one of:
   * ``packed``  — sublane-packed band-local Pallas TPU kernel
                   (ops/yama_pack.py); picked automatically when a TPU
                   backend is attached.
-  * ``pallas``  — the one-problem-per-sublane band-local kernel
-                  (ops/yama_pallas.py); kept for comparison.
   * ``jax``     — batched full-row XLA kernel (ops/yama_jax.py).
   * ``host``    — per-problem NumPy/C++ oracle loop (yama.py); used to
                   exercise the two-phase plan/execute/stitch machinery
@@ -16,7 +14,7 @@ executes them through one of:
   * ``none``    — disable batching; the merge scan calls the oracle
                   inline (the reference's shape).
 
-Override with MULTIZ_TPU_DEVICE=pallas|jax|host|none (default: auto).
+Override with MULTIZ_TPU_DEVICE=packed|jax|host|none (default: auto).
 """
 
 from __future__ import annotations
@@ -43,10 +41,6 @@ def default_batch_fn() -> Optional[Callable]:
         from .yama_jax import yama_batch
 
         return lambda jobs, sp=None: yama_batch(jobs, sp=sp)
-    if mode == "pallas":
-        from .yama_pallas import yama_batch_pallas
-
-        return yama_batch_pallas
     if mode == "packed":
         from .yama_pack import yama_batch_packed
 

@@ -1,7 +1,8 @@
 """Sublane-packed band-local Pallas yama kernel (the production DP path).
 
-Measured bottlenecks of the first band-local kernel (ops/yama_pallas.py)
-on the v5e chip: (1) the XLA gather pass materializing per-(row, lane)
+Measured bottlenecks of the first band-local kernel (one problem per
+sublane; superseded and removed, measurements in ROADMAP.md) on the
+v5e chip: (1) the XLA gather pass materializing per-(row, lane)
 correction windows (~2.1s for the 256-problem bench — TPU gathers are
 slow and the windows are ~1.7GB of HBM), (2) per-row work issued as
 (1, 128) vector ops that waste 7/8 sublanes. This kernel removes both:

@@ -509,6 +509,154 @@ class Tba:
             )
 
 
+def tba_plan(tree, pair_files, ref=None, suffix=".sing.maf",
+             aligner="multiz") -> List[str]:
+    """Printable merge plan of tba_run — the in-process analog of the
+    reference's dry-run/verbose facility, which prints each generated
+    shell pipeline (speciesTree.c:27-34, tba.c:336-341). Mirrors the
+    name-level control flow of Tba._merge_data; temp-file letters
+    (A..Y, REFf) match the reference's /tmp/_tba_<pid>_* naming."""
+    eng = Tba(tree, pair_files, ".", None, suffix, ref=ref, aligner=aligner)
+    tasks = []
+
+    def record(x: TreeNode, y: TreeNode, nid: int):
+        n1s, n2s, swap = eng._prep_names(x, y, nid)
+        tasks.append((nid, n1s, n2s, swap))
+
+    parse_species_tree(tree, record, on_internal=None)
+    mz = "multic" if aligner == "multic" else "multiz"
+    have = set(pair_files)
+    lines: List[str] = []
+    for nid, n1s, n2s, swap in tasks:
+        lines.append(
+            f"node {nid}: merge ({' '.join(n1s)}) + ({' '.join(n2s)})"
+            + (" [sides swapped: ref]" if swap else "")
+        )
+        if len(n1s) == 1 and len(n2s) == 1:
+            pf = f"{n1s[0]}.{n2s[0]}{suffix}"
+            if pf in have:
+                lines.append(
+                    f"  maf_project {pf} {n1s[0]}; pair2tb -> tba{nid}"
+                )
+            else:
+                lines.append(
+                    f"  ERROR: no alignment found for {n1s[0]} and {n2s[0]}"
+                )
+            continue
+        single_left = len(n1s) == 1
+        single_right = len(n2s) == 1
+        found = False
+        single1 = single2 = 0
+        for i1, n1 in enumerate(n1s):
+            for i2, n2 in enumerate(n2s):
+                pf = f"{n1}.{n2}{suffix}"
+                if pf not in have:
+                    continue
+                lines.append(f"  bridge {pf}:")
+                if not single_left:
+                    lines.append(f"    maf_project left{nid} {n1} A > B")
+                    if not single_right:
+                        lines.append(f"    {mz} B {pf} 1 Y X > H")
+                        lines.append(f"    maf_project H {n2} U > B")
+                        lines.append(f"    maf_project right{nid} {n2} C > D")
+                        to_ref = ref is not None and (
+                            (ref == n1 and i2 + 1 < len(n2s))
+                            or (ref == n2 and i1 + 1 < len(n1s))
+                        )
+                        lines.append(
+                            f"    {mz} D B 1 E F >> "
+                            + ("REFf" if to_ref else f"tba{nid}")
+                        )
+                        if ref is None or ref != n1:
+                            lines.append(
+                                f"    maf_project F {n2} W; strip-top > F"
+                            )
+                    else:
+                        lines.append(
+                            f"    maf_project {pf} {n1}; pair2tb > D; "
+                            f"maf_project D {n2} > H"
+                        )
+                        if single2 == 0:
+                            lines.append(f"    maf_project H {n1} C > D")
+                            single2 += 1
+                        else:
+                            lines.append(
+                                f"    maf_project right{nid} {n2} > D2; "
+                                f"get_covered H D2 > L; "
+                                f"maf_project L {n1} C > D"
+                            )
+                        lines.append(f"    {mz} B D 1 F E >> tba{nid}")
+                        if ref is None or ref != n1:
+                            lines.append(
+                                f"    maf_project E {n1} T; strip-top > E"
+                            )
+                else:
+                    lines.append(
+                        f"    maf_project {pf} {n1}; pair2tb > B; "
+                        f"maf_project B {n1} > H"
+                    )
+                    if single1 == 0:
+                        lines.append(f"    maf_project H {n2} A > B")
+                        single1 += 1
+                    else:
+                        lines.append(
+                            f"    maf_project left{nid} {n1} > B2; "
+                            f"get_covered H B2 > L; "
+                            f"maf_project L {n2} A > B"
+                        )
+                    lines.append(f"    maf_project right{nid} {n2} C > D")
+                    lines.append(f"    {mz} D B 1 E F >> tba{nid}")
+                    if ref is None or ref != n1:
+                        lines.append(
+                            f"    maf_project F {n2} W; strip-top > F"
+                        )
+                lines.append(
+                    f"    left{nid} = A+Y+U+F+W; right{nid} = C+E+T"
+                )
+                found = True
+        if not found:
+            lines.append("  WARNING: no alignments connect the subtrees")
+    return lines
+
+
+def roast_plan(ref, tree, pair_files, suffix=".sing.maf",
+               aligner="multiz") -> List[str]:
+    """Printable merge plan of roast_run (mz_merge dataflow,
+    auto_mz.c:52-118); see tba_plan."""
+    tasks = []
+
+    def record(x: TreeNode, y: TreeNode, nid: int):
+        tasks.append((nid, list(x.names), list(y.names)))
+
+    parse_species_tree(tree, record, on_internal=None)
+    mz = "multic" if aligner == "multic" else "multiz"
+    have = set(pair_files)
+    lines: List[str] = []
+    for nid, n1s, n2s in tasks:
+        lines.append(f"node {nid}: merge ({' '.join(n1s)}) + ({' '.join(n2s)})")
+        for ns, other, side in ((n1s, n2s, "right"), (n2s, n1s, "left")):
+            if len(ns) == 1 and ns[0] == ref:
+                if len(other) == 1:
+                    pf = f"{ref}.{other[0]}{suffix}"
+                    lines.append(
+                        f"  copy {pf} > MZ{nid}" if pf in have
+                        else f"  ERROR: missing {pf}"
+                    )
+                else:
+                    lines.append(f"  copy {side}{nid} > MZ{nid}")
+                break
+        else:
+            lines.append(f"  maf_project left{nid} {ref} > left{nid}")
+            lines.append(f"  maf_project right{nid} {ref} > right{nid}")
+            v = 1 if (ref in n1s or ref in n2s) else 0
+            swapped = " [sides swapped: ref]" if ref in n2s else ""
+            lines.append(
+                f"  {mz} left right {v} U1 U2 >> MZ{nid}{swapped}"
+            )
+    lines.append(f"final: maf_project MZ{tasks[-1][0]} {ref} > dest")
+    return lines
+
+
 def tba_run(tree, pair_files, src_dir=".", cfg=None, suffix=".sing.maf",
             ref=None, sp=None, aligner="multiz",
             parallel: int | None = None) -> Blocks:

@@ -103,3 +103,19 @@ def test_tba_parallel_schedule_deterministic():
     sp = sc.init_scores70()
     blocks = tba_run(TREE4, PAIRS4, src_dir=DATA, sp=sp, parallel=4)
     assert block_lines(render(blocks)) == expect("tba4.maf")
+
+
+def test_plans_and_parallel_failure():
+    """tba_plan/roast_plan cover every node; a raising merge in parallel
+    mode propagates instead of deadlocking the pool."""
+    from multiz_tpu.tree import roast_plan, tba_plan
+
+    plan = tba_plan(TREE4, PAIRS4, ref="human")
+    assert sum(l.startswith("node ") for l in plan) == 3
+    assert any("multiz" in l for l in plan)
+    rplan = roast_plan("human", TREE4, PAIRS4)
+    assert rplan[-1].startswith("final: maf_project")
+    # missing pair files -> leaf merge raises; must not hang
+    with pytest.raises(ValueError, match="no alignment found"):
+        tba_run(TREE4, ["human.rat.sing.maf"], src_dir=DATA,
+                sp=sc.init_scores70(), parallel=4)
