@@ -75,6 +75,16 @@ def test_fits_packed_fallback():
     _assert_jobs_equal(jobs, YP.yama_batch_packed(jobs))
 
 
+def test_wide_group_bit_equal(monkeypatch):
+    """The production chip path groups 32 problems per sublane tile
+    (NPACK); cover that grouping (incl. duplicate padding to 32 slots)
+    in interpret mode."""
+    monkeypatch.setenv("MZ_NP_INTERPRET", "32")
+    jobs = synth_jobs(9, m_lo=16, m_hi=48, k_lo=1, k_hi=3, radius=8,
+                      seed=13)
+    _assert_jobs_equal(jobs, YP.yama_batch_packed(jobs))
+
+
 def test_host_route_small_buckets(monkeypatch):
     """With the default routing threshold, tiny buckets bypass the device
     entirely and still produce oracle-identical results."""
