@@ -239,7 +239,7 @@ def _prep_one(Atex, Btex, LB, RB, M, N, K, L, ss_cat, go, ge,
     j0 = jnp.arange(CW, dtype=jnp.int32)
     col0 = W0c[0] + j0 - 1
     f0 = jnp.where(
-        (col0 >= 1) & (col0 <= RB[0]), jnp.int8(FLAG_I << 4), jnp.int8(0)
+        (col0 >= 1) & (col0 <= RB[0]), jnp.int32(FLAG_I << 4), jnp.int32(0)
     )
     return bst, astream, dp0, f0, W0c
 
@@ -448,7 +448,9 @@ def _kernel(bases_ref, bst_ref, a_ref, dp0_ref, f0_ref,
 
         frow = jnp.where(
             maskD, flag_c | (flag_d << 2) | (flag_i << 4), 0
-        ).astype(jnp.int8)
+        )  # int32: the traceback reads exact rows as (1, 128) slices
+        # (int32 dynamic sublane loads are granular; int8 needs (8, .)
+        # granules and a 10x costlier extract)
         if i == 0:
             @pl.when(rc != 0)
             def _(frow=frow):
@@ -512,7 +514,7 @@ def _pallas_dp(bases, bst, astream, dp0, f0, go, ge,
                      memory_space=pltpu.VMEM),  # last
     ]
     out_shapes = [
-        jax.ShapeDtypeStruct((G, nchunks, ROW_CHUNK, np_, CW), jnp.int8),
+        jax.ShapeDtypeStruct((G, nchunks, ROW_CHUNK, np_, CW), jnp.int32),
         jax.ShapeDtypeStruct((G, 1, np_, 8), jnp.int32),
     ]
     flags, last = pl.pallas_call(
@@ -539,12 +541,12 @@ def _pallas_dp(bases, bst, astream, dp0, f0, go, ge,
 
 
 def _tb_rows_per_win(mp_rows: int, tnp: int) -> int:
-    """Largest row window (multiple of 32 dividing mp_rows) whose flag
-    block fits the VMEM budget with double buffering."""
+    """Largest row window (multiple of 32 dividing mp_rows) whose int32
+    flag block fits the VMEM budget with double buffering."""
     nch = mp_rows // 32
     best = 32
     for d in range(1, nch + 1):
-        if nch % d == 0 and tnp * (32 * d) * CW <= _TB_VMEM_BUDGET:
+        if nch % d == 0 and tnp * (32 * d) * CW * 4 <= _TB_VMEM_BUDGET:
             best = 32 * d
     return best
 
@@ -568,14 +570,19 @@ def _tb_kernel(w0_ref, mn_ref, last_ref, flags_ref,
     row's window are stored as 0 by the DP kernel, so the only
     validity check needed is the window range (the reference reads its
     zero-initialized full matrix the same way, mz_yama.c:77-94,257-291).
-    """
+
+    Edit ops are emitted through a per-walk SCALAR accumulator (16
+    2-bit ops per int32, built on the scalar core, which runs in
+    parallel with the vector units) and only inserted into the staging
+    vector every 16 ops — so the script words leave the kernel already
+    in the packed D2H wire format and the per-step vector work is just
+    the flag extract."""
     SELECT_CID = 3
     wid = pl.program_id(1)
     win_lo = (nwin - 1 - wid) * wr
     lane8 = lax.broadcasted_iota(jnp.int32, (tnp, 128), 1)
     sub8 = lax.broadcasted_iota(jnp.int32, (tnp, 128), 0)
-    si8 = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    jl8 = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    jl1 = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     # per-window step bound: <= wr row moves + <= npad I (column) moves
     steps = wr + npad + 8
 
@@ -593,27 +600,30 @@ def _tb_kernel(w0_ref, mn_ref, last_ref, flags_ref,
                 jnp.where(ld >= li, jnp.int32(FLAG_D), jnp.int32(FLAG_I)),
             )
             st_ref[3, p] = 0  # k (edit ops emitted)
+            st_ref[4, p] = 0  # acc (current 16-op word)
 
     rows0 = tuple(st_ref[0, p] for p in range(tnp))
     cols0 = tuple(st_ref[1, p] for p in range(tnp))
     nodes0 = tuple(st_ref[2, p] for p in range(tnp))
     ks0 = tuple(st_ref[3, p] for p in range(tnp))
+    accs0 = tuple(st_ref[4, p] for p in range(tnp))
 
     def in_win(row, col):
         return ((row > 0) | (col > 0)) & (row >= win_lo)
 
     def cond(c):
-        it, rows, cols, nodes, ks, reg = c
+        it, rows, cols, nodes, ks, accs = c
         alive = in_win(rows[0], cols[0])
         for p in range(1, tnp):
             alive = alive | in_win(rows[p], cols[p])
         return alive & (it < steps)
 
     def body(c):
-        it, rows, cols, nodes, ks, reg = c
-        nrows, ncols, nnodes, nks = [], [], [], []
+        it, rows, cols, nodes, ks, accs = c
+        nrows, ncols, nnodes, nks, naccs = [], [], [], [], []
         for p in range(tnp):
             row, col, node, k = rows[p], cols[p], nodes[p], ks[p]
+            acc = accs[p]
             parked = ~in_win(row, col)
             W0 = w0_ref[0, p, row // ROW_CHUNK]
             j = col + 1 - W0
@@ -621,26 +631,32 @@ def _tb_kernel(w0_ref, mn_ref, last_ref, flags_ref,
                 jnp.clip((j >> 7) << 7, 0, CW - 128), 128
             )
             rl = jnp.clip(row - win_lo, 0, wr - 1)
-            blk = flags_ref[
-                p, pl.ds(pl.multiple_of((rl >> 3) << 3, 8), 8),
-                pl.ds(jb, 128),
-            ].astype(jnp.int32)
+            rowv = flags_ref[p, pl.ds(rl, 1), pl.ds(jb, 128)]  # (1,128)
             st = jnp.where(
                 (j >= 0) & (j < CW),
-                jnp.sum(
-                    jnp.where(
-                        (si8 == (rl & 7)) & (jl8 == (j & 127)), blk, 0
-                    )
-                ),
+                jnp.sum(jnp.where(jl1 == (j & 127), rowv, 0)),
                 0,
             )
-            reg = jnp.where(
-                (sub8 == p) & (lane8 == (k & 127)) & (~parked), node, reg
+            # scalar-core script emission: op k -> bits 2*(k&15) of
+            # word k>>4; words land in reg lane (k>>4)&127
+            acc = jnp.where(
+                parked, acc, acc | (node << (2 * (k & 15)))
             )
+            wi = k >> 4
 
-            @pl.when((~parked) & ((k & 127) == 127))
-            def _(reg=reg, k=k, p=p):
-                script_ref[0, p, pl.ds(k >> 7, 1), :] = reg[p : p + 1, :]
+            @pl.when((~parked) & ((k & 15) == 15))
+            def _(acc=acc, wi=wi, p=p):
+                reg_ref[:, :] = jnp.where(
+                    (sub8 == p) & (lane8 == (wi & 127)), acc, reg_ref[:, :]
+                )
+
+            acc = jnp.where((~parked) & ((k & 15) == 15), 0, acc)
+
+            @pl.when((~parked) & ((k & 2047) == 2047))
+            def _(wi=wi, p=p):
+                script_ref[0, p, pl.ds(wi >> 7, 1), :] = reg_ref[
+                    p : p + 1, :
+                ]
 
             is_i = node == FLAG_I
             is_d = node == FLAG_D
@@ -656,36 +672,46 @@ def _tb_kernel(w0_ref, mn_ref, last_ref, flags_ref,
             )
             nnodes.append(jnp.where(parked, node, nnode))
             nks.append(jnp.where(parked, k, k + 1))
+            naccs.append(acc)
         return (it + 1, tuple(nrows), tuple(ncols), tuple(nnodes),
-                tuple(nks), reg)
+                tuple(nks), tuple(naccs))
 
     zero = jnp.int32(0)
-    _, rows, cols, nodes, ks, reg = lax.while_loop(
-        cond, body, (zero, rows0, cols0, nodes0, ks0, reg_ref[:, :]),
+    _, rows, cols, nodes, ks, accs = lax.while_loop(
+        cond, body, (zero, rows0, cols0, nodes0, ks0, accs0),
     )
-    reg_ref[:, :] = reg
     for p in range(tnp):
         st_ref[0, p] = rows[p]
         st_ref[1, p] = cols[p]
         st_ref[2, p] = nodes[p]
         st_ref[3, p] = ks[p]
+        st_ref[4, p] = accs[p]
 
     @pl.when(wid == nwin - 1)
     def _final():
         for p in range(tnp):
-            script_ref[0, p, pl.ds(ks[p] >> 7, 1), :] = reg[p : p + 1, :]
-            ned_ref[0, p : p + 1, :] = jnp.full((1, 8), ks[p], jnp.int32)
+            k = ks[p]
+            wi = k >> 4
+            # park the partial word, then flush the partial row; stale
+            # lanes/rows beyond word wi are never read (nedit = k)
+            reg_ref[:, :] = jnp.where(
+                (sub8 == p) & (lane8 == (wi & 127)), accs[p], reg_ref[:, :]
+            )
+            script_ref[0, p, pl.ds(wi >> 7, 1), :] = reg_ref[p : p + 1, :]
+            ned_ref[0, p : p + 1, :] = jnp.full((1, 8), k, jnp.int32)
 
 
 def _pallas_traceback(flags_b, W0c, mn, last, mp_rows, srows, tnp):
-    """flags_b (B, mp_rows, CW) int8 -> (scripts (B, srows, 128) int32,
-    nedit (B, tnp->1, 8) int32); tnp problems share one grid step."""
+    """flags_b (B, mp_rows, CW) int8 -> (scripts (B, srows2, 128) int32
+    pre-packed 16 2-bit ops per word, nedit (B, tnp->1, 8) int32); tnp
+    problems share one grid step."""
     B = flags_b.shape[0]
     G = B // tnp
     nchunks = W0c.shape[1]
     npad = (srows * 128) - mp_rows  # >= n_pad; safe I-move bound
     wr = _tb_rows_per_win(mp_rows, tnp)
     nwin = mp_rows // wr
+    srows2 = -(-srows // 16)  # packed word rows
     scripts, ned = pl.pallas_call(
         functools.partial(_tb_kernel, srows=srows, tnp=tnp,
                           wr=wr, nwin=nwin, npad=max(npad, 0)),
@@ -701,22 +727,20 @@ def _pallas_traceback(flags_b, W0c, mn, last, mp_rows, srows, tnp):
             # [(nwin-1-w)*wr, (nwin-w)*wr)
             pl.BlockSpec((tnp, wr, CW),
                          lambda g, w: (g, nwin - 1 - w, 0),
-                         memory_space=pltpu.VMEM),  # flags (int8)
+                         memory_space=pltpu.VMEM),  # flags (int32)
         ],
         out_specs=[
-            pl.BlockSpec((1, tnp, srows, 128), lambda g, w: (g, 0, 0, 0),
+            pl.BlockSpec((1, tnp, srows2, 128), lambda g, w: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tnp, 8), lambda g, w: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            # int32: int8 stores at unaligned dynamic sublane offsets
-            # don't lower; narrowed + packed after the kernel
-            jax.ShapeDtypeStruct((G, tnp, srows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((G, tnp, srows2, 128), jnp.int32),
             jax.ShapeDtypeStruct((G, tnp, 8), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.SMEM((4, tnp), jnp.int32),  # row/col/node/k per walk
+            pltpu.SMEM((5, tnp), jnp.int32),  # row/col/node/k/acc per walk
             pltpu.VMEM((tnp, 128), jnp.int32),  # script staging reg
         ],
         compiler_params=pltpu.CompilerParams(
@@ -727,7 +751,7 @@ def _pallas_traceback(flags_b, W0c, mn, last, mp_rows, srows, tnp):
         W0c.reshape(G, tnp, nchunks), mn.reshape(G, tnp, 2),
         last.reshape(G, tnp, 8), flags_b,
     )
-    return scripts.reshape(B, srows, 128), ned.reshape(B, 1, 8)
+    return scripts.reshape(B, srows2 * 128), ned.reshape(B, 1, 8)
 
 
 @functools.partial(
@@ -741,13 +765,9 @@ def _device_batch(buf, ss_cat, go, ge, m_pad, n_pad, Kp, Lp, B,
     """packed host buffer -> stats -> packed kernel -> traceback, one
     jitted program with one H2D operand and one D2H payload.
 
-    Returns out (B, 4 + srows*128) uint8: [nedit LE32] + edit script
-    newest-first."""
+    Returns out (B, 4 + srows2*512) uint8: [nedit LE32] + edit script
+    packed 4 ops/byte, newest-first."""
     mp1 = m_pad + 1
-    nchunks = -(-mp1 // ROW_CHUNK)
-    mp_rows = nchunks * ROW_CHUNK
-    npadl = _round_up(n_pad + CW + 2, 128)
-    G = B // np_
 
     # unpack the single uint8 buffer (layout mirrored in _pack_bucket)
     oA = 0
@@ -766,6 +786,23 @@ def _device_batch(buf, ss_cat, go, ge, m_pad, n_pad, Kp, Lp, B,
     MNKL = jax.lax.bitcast_convert_type(
         buf[oS : oS + B * 16].reshape(B, 4, 4), jnp.int32
     )
+    return _db_core(Atex, Btex, LB, RB, MNKL, ss_cat, go=go, ge=ge,
+                    m_pad=m_pad, n_pad=n_pad, Kp=Kp, Lp=Lp,
+                    np_=np_, pm_d=pm_d)
+
+
+def _db_core(Atex, Btex, LB, RB, MNKL, ss_cat, *, go, ge,
+             m_pad, n_pad, Kp, Lp, np_, pm_d):
+    """Array-operand core of _device_batch: per-problem operand arrays
+    (leading dim B, a multiple of np_) -> packed result payload.
+    Called directly under shard_map for multi-device execution
+    (parallel/distributed.py) — every operand shards on dim 0."""
+    B = Atex.shape[0]
+    mp1 = m_pad + 1
+    nchunks = -(-mp1 // ROW_CHUNK)
+    mp_rows = nchunks * ROW_CHUNK
+    npadl = _round_up(n_pad + CW + 2, 128)
+    G = B // np_
     M, N, K, L = MNKL[:, 0], MNKL[:, 1], MNKL[:, 2], MNKL[:, 3]
 
     prep = jax.vmap(
@@ -806,14 +843,11 @@ def _device_batch(buf, ss_cat, go, ge, m_pad, n_pad, Kp, Lp, B,
         ],
         axis=1,
     ).astype(jnp.uint8)
-    # ops are 2-bit: pack 4 per byte — the tunnel's D2H is ~32MB/s, so
-    # payload size is the fetch cost
-    q = scripts.reshape(B, srows * 32, 4).astype(jnp.uint8)
-    packed = (
-        q[:, :, 0]
-        | (q[:, :, 1] << 2)
-        | (q[:, :, 2] << 4)
-        | (q[:, :, 3] << 6)
+    # scripts leave the traceback kernel already packed 4 ops/byte (16
+    # per int32 word, little-endian) — the tunnel's D2H is ~32MB/s, so
+    # payload size is the fetch cost; just reinterpret the words
+    packed = jax.lax.bitcast_convert_type(scripts, jnp.uint8).reshape(
+        B, -1
     )
     return jnp.concatenate([ne8, packed], axis=1)
 
@@ -876,6 +910,13 @@ def yama_batch_packed(jobs, sp: sc.ScoreParams | None = None):
         buckets.setdefault(key, []).append(idx)
         w = int((RBa[: M + 1] - LBa[: M + 1]).max())
         band_d[key] = max(band_d.get(key, 1), w)
+    # sort each bucket by problem size so a traceback group's step count
+    # (max M+N over its tnp walks) tracks the mean, not the bucket max
+    for idxs in buckets.values():
+        idxs.sort(
+            key=lambda i: jobs[i][0].shape[0] + jobs[i][1].shape[0],
+            reverse=True,
+        )
 
     # Tiny buckets go to the native host DP: the device's fixed per-call
     # cost (compile-cache lookup, transfer latency, sync) dominates below
@@ -978,40 +1019,47 @@ def yama_batch_packed(jobs, sp: sc.ScoreParams | None = None):
     if timing:
         _t0 = _t.perf_counter()
     for idxs, out in pending:
-        out_np = out
-        for slot, idx in enumerate(idxs):
-            A, B, _, _ = jobs[idx]
-            ne = (
-                int(out_np[slot, 0])
-                | (int(out_np[slot, 1]) << 8)
-                | (int(out_np[slot, 2]) << 16)
-                | (int(out_np[slot, 3]) << 24)
-            )
-            pk = out_np[slot, 4 : 4 + (ne + 3) // 4]
-            script_rev = (
-                (pk[:, None] >> (np.arange(4, dtype=np.uint8) * 2)) & 3
-            ).astype(np.uint8).reshape(-1)[:ne]
-            M, K = A.shape
-            N, L = B.shape
-            if _mzcore is not None:
-                merged = np.empty((ne, K + L), dtype=np.uint8)
-                try:
-                    _mzcore.replay_into(
-                        np.ascontiguousarray(script_rev), ne, True,
-                        np.ascontiguousarray(A), M, K,
-                        np.ascontiguousarray(B), N, L, merged,
-                    )
-                except ValueError as e:
-                    raise YamaError(str(e))
-                results[idx] = merged
-            else:
-                results[idx] = _replay(script_rev[::-1].copy(), A, B)
+        _replay_payload(out, idxs, jobs, results)
     if timing:
         print(
             f"[MZ_TIME] replay={_t.perf_counter() - _t0:.4f}",
             flush=True,
         )
     return results
+
+
+def _replay_payload(out_np, idxs, jobs, results):
+    """Replay one bucket's packed result payload ([nedit LE32] + 2-bit
+    ops, newest-first) into merged column matrices at results[idx]."""
+    from ..yama import YamaError, _mzcore, _replay
+
+    for slot, idx in enumerate(idxs):
+        A, B, _, _ = jobs[idx]
+        ne = (
+            int(out_np[slot, 0])
+            | (int(out_np[slot, 1]) << 8)
+            | (int(out_np[slot, 2]) << 16)
+            | (int(out_np[slot, 3]) << 24)
+        )
+        pk = out_np[slot, 4 : 4 + (ne + 3) // 4]
+        script_rev = (
+            (pk[:, None] >> (np.arange(4, dtype=np.uint8) * 2)) & 3
+        ).astype(np.uint8).reshape(-1)[:ne]
+        M, K = A.shape
+        N, L = B.shape
+        if _mzcore is not None:
+            merged = np.empty((ne, K + L), dtype=np.uint8)
+            try:
+                _mzcore.replay_into(
+                    np.ascontiguousarray(script_rev), ne, True,
+                    np.ascontiguousarray(A), M, K,
+                    np.ascontiguousarray(B), N, L, merged,
+                )
+            except ValueError as e:
+                raise YamaError(str(e))
+            results[idx] = merged
+        else:
+            results[idx] = _replay(script_rev[::-1].copy(), A, B)
 
 
 @jax.jit

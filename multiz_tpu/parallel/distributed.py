@@ -94,7 +94,15 @@ def distributed_yama_batch(local_jobs: List, sp=None):
     processes must enter the same compiled programs — the caller
     achieves this by sharding a deterministic global list with
     ``local_shard``). Every process must call this collectively.
-    Returns results for the local jobs, bit-identical to yama_numpy."""
+    Returns results for the local jobs, bit-identical to yama_numpy.
+
+    NOTE: because buckets are derived from the LOCAL shard, a
+    heterogeneous global list can still bucket differently across
+    processes and diverge into mismatched collectives. The production
+    multi-chip path is ``distributed_yama_batch_packed`` below, which
+    buckets on the global list and runs the packed Pallas kernel; this
+    full-row XLA path is kept for CPU-backend testing (the CPU backend
+    cannot compile Mosaic kernels) and as the scaling proxy."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh, PartitionSpec as P
@@ -169,6 +177,136 @@ def distributed_yama_batch(local_jobs: List, sp=None):
                 results[idx] = _replay(
                     loc_scripts[slot][:ne][::-1].copy(), A, B
                 )
+    return results
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_db(mesh, go, ge, m_pad, n_pad, Kp, Lp, np_, pm_d):
+    """Jitted shard_map of the PRODUCTION packed kernel over ``mesh``'s
+    ``blocks`` axis, cached per (mesh, bucket shape). Each device runs
+    _db_core on its problem shard; results are all-gathered over ICI so
+    every process holds the full payload (SURVEY.md §2.5 comm-backend
+    row: collectives replace the reference's /tmp-file hand-off)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.yama_pack import _db_core
+
+    def local(at, bt, lb, rb, mn, ss):
+        out = _db_core(at, bt, lb, rb, mn, ss, go=go, ge=ge,
+                       m_pad=m_pad, n_pad=n_pad, Kp=Kp, Lp=Lp,
+                       np_=np_, pm_d=pm_d)
+        return jax.lax.all_gather(out, "blocks", axis=0, tiled=True)
+
+    sm = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("blocks", None, None), P("blocks", None, None),
+            P("blocks", None), P("blocks", None),
+            P("blocks", None), P(None, None),
+        ),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+    return jax.jit(sm)
+
+
+def distributed_yama_batch_packed(jobs, mesh=None, sp=None):
+    """Run the production packed Pallas DP over every device of a mesh.
+
+    ``jobs``: the GLOBAL job list — identical on every process (the
+    tree pipeline is deterministic, so each host plans the same DP
+    jobs; what is sharded is the device compute). Buckets are computed
+    from the global list, so every process enters the same compiled
+    programs with the same global shapes — per-process bucketing on
+    heterogeneous shards cannot diverge into mismatched collectives.
+    Results are all-gathered on device, so every process returns the
+    full result list, bit-identical to yama_numpy.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from .. import scores as sc
+    from ..ops import yama_pack as YP
+    from ..ops.yama_jax import _pad_to
+    from ..yama import _check_band, yama_numpy
+
+    if sp is None:
+        sp = sc.current
+    if mesh is None:
+        mesh = Mesh(np.asarray(jax.devices()), ("blocks",))
+    ndev = mesh.shape["blocks"]
+    go, ge = int(sp.gap_open), int(sp.gap_extend)
+    ss_cat = jnp.asarray(sp.ss_cat)
+    np_ = YP._np_active()
+
+    buckets, band_d = {}, {}
+    results = [None] * len(jobs)
+    for idx, (A, B, LB, RB) in enumerate(jobs):
+        M, K = A.shape
+        N, L = B.shape
+        LBa = np.asarray(LB, dtype=np.int64)
+        RBa = np.asarray(RB, dtype=np.int64)
+        _check_band(LBa, RBa, M, N)
+        if not YP.fits_packed(LBa, RBa, M, N):
+            results[idx] = yama_numpy(A, B, LBa, RBa, sp=sp)
+            continue
+        p = max(_pad_to(M), _pad_to(N))
+        key = (p, p, YP._pad8(K), YP._pad8(L))
+        buckets.setdefault(key, []).append(idx)
+        w = int((RBa[: M + 1] - LBa[: M + 1]).max())
+        band_d[key] = max(band_d.get(key, 1), w)
+
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    for (m_pad, n_pad, Kp, Lp), idxs in sorted(buckets.items()):
+        nb = -(-len(idxs) // (ndev * np_)) * (ndev * np_)
+        run = idxs + [idxs[-1]] * (nb - len(idxs))
+        pm_d = 16
+        while pm_d < min(band_d[(m_pad, n_pad, Kp, Lp)], YP.CW):
+            pm_d *= 2
+        mp1 = m_pad + 1
+        # this process's contiguous row range (mesh devices are
+        # process-major, so P("blocks") rows land on local devices)
+        lo = pid * (nb // nproc)
+        hi = lo + nb // nproc
+        Atex = np.zeros((hi - lo, Kp, m_pad), np.uint8)
+        Btex = np.zeros((hi - lo, Lp, n_pad), np.uint8)
+        LBp = np.zeros((hi - lo, mp1), np.int32)
+        RBp = np.zeros((hi - lo, mp1), np.int32)
+        MNKL = np.zeros((hi - lo, 4), np.int32)
+        for slot in range(lo, hi):
+            A, B, LB, RB = jobs[run[slot]]
+            M, K = A.shape
+            N, L = B.shape
+            s = slot - lo
+            Atex[s, :K, :M] = A.T
+            Btex[s, :L, :N] = B.T
+            LBp[s, : M + 1] = LB[: M + 1]
+            RBp[s, : M + 1] = RB[: M + 1]
+            LBp[s, M + 1 :] = LB[M]
+            RBp[s, M + 1 :] = RB[M]
+            MNKL[s] = (M, N, K, L)
+
+        def garr(arr):
+            spec = P("blocks", *([None] * (arr.ndim - 1)))
+            sharding = NamedSharding(mesh, spec)
+            if nproc == 1:
+                return jax.device_put(arr, sharding)
+            return jax.make_array_from_process_local_data(sharding, arr)
+
+        fn = _sharded_db(mesh, go, ge, m_pad, n_pad, Kp, Lp, np_, pm_d)
+        ss_rep = jax.device_put(
+            ss_cat, NamedSharding(mesh, P(None, None))
+        )
+        out = fn(garr(Atex), garr(Btex), garr(LBp), garr(RBp),
+                 garr(MNKL), ss_rep)
+        YP._replay_payload(np.asarray(out), idxs, jobs, results)
     return results
 
 

@@ -52,6 +52,38 @@ sys.exit(1 if bad else 0)
 """
 
 
+WORKER_PACKED = r"""
+import os, sys
+sys.path.insert(0, os.environ["MZ_REPO"])
+import numpy as np
+import jax
+
+jax.distributed.initialize(
+    coordinator_address=os.environ["MZ_COORD"],
+    num_processes=int(os.environ["MZ_NPROC"]),
+    process_id=int(os.environ["MZ_PID"]),
+)
+from multiz_tpu.ops import yama_pack as YP
+from multiz_tpu.ops.synth import synth_jobs
+from multiz_tpu.parallel.distributed import distributed_yama_batch_packed
+from multiz_tpu.yama import yama_numpy
+
+YP.INTERPRET = True  # CPU backend: run the Pallas program interpreted
+
+# GLOBAL job list, identical on every process; results are
+# all-gathered so EVERY process checks the full list
+jobs = synth_jobs(18, m_lo=16, m_hi=28, k_lo=1, k_hi=2, radius=8, seed=7)
+outs = distributed_yama_batch_packed(jobs)
+bad = 0
+for j, got in zip(jobs, outs):
+    want = yama_numpy(*j)
+    if got.shape != want.shape or not np.array_equal(got, want):
+        bad += 1
+print(f"proc {jax.process_index()}: packed global bad={bad}", flush=True)
+sys.exit(1 if bad else 0)
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -60,8 +92,7 @@ def _free_port():
     return p
 
 
-def test_two_process_distributed_yama():
-    nproc = 2
+def _run_workers(worker_src, nproc=2):
     port = _free_port()
     procs = []
     for pid in range(nproc):
@@ -86,7 +117,7 @@ def test_two_process_distributed_yama():
         )
         procs.append(
             subprocess.Popen(
-                [sys.executable, "-c", WORKER],
+                [sys.executable, "-c", worker_src],
                 env=env, stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT, text=True,
             )
@@ -97,4 +128,16 @@ def test_two_process_distributed_yama():
         outs.append(out)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
+    return outs
+
+
+def test_two_process_distributed_yama():
+    outs = _run_workers(WORKER)
     assert any("shard [0," in o for o in outs), outs
+
+
+def test_two_process_packed_global():
+    """The production packed kernel shard_mapped over a 2-process mesh:
+    global bucketing, all-gathered results, bit-equal on every rank."""
+    outs = _run_workers(WORKER_PACKED)
+    assert all("packed global bad=0" in o for o in outs), outs
