@@ -582,7 +582,8 @@ def _tb_kernel(w0_ref, mn_ref, last_ref, flags_ref,
     win_lo = (nwin - 1 - wid) * wr
     lane8 = lax.broadcasted_iota(jnp.int32, (tnp, 128), 1)
     sub8 = lax.broadcasted_iota(jnp.int32, (tnp, 128), 0)
-    jl1 = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    jl8 = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    sl8 = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     # per-window step bound: <= wr row moves + <= npad I (column) moves
     steps = wr + npad + 8
 
@@ -631,10 +632,14 @@ def _tb_kernel(w0_ref, mn_ref, last_ref, flags_ref,
                 jnp.clip((j >> 7) << 7, 0, CW - 128), 128
             )
             rl = jnp.clip(row - win_lo, 0, wr - 1)
-            rowv = flags_ref[p, pl.ds(rl, 1), pl.ds(jb, 128)]  # (1,128)
+            # Mosaic refuses unaligned dynamic sublane loads: fetch the
+            # 8-aligned (8,128) tile and mask-select the wanted row.
+            rl8 = pl.multiple_of((rl >> 3) << 3, 8)
+            rowv = flags_ref[p, pl.ds(rl8, 8), pl.ds(jb, 128)]  # (8,128)
             st = jnp.where(
                 (j >= 0) & (j < CW),
-                jnp.sum(jnp.where(jl1 == (j & 127), rowv, 0)),
+                jnp.sum(jnp.where(
+                    (sl8 == (rl & 7)) & (jl8 == (j & 127)), rowv, 0)),
                 0,
             )
             # scalar-core script emission: op k -> bits 2*(k&15) of
