@@ -77,15 +77,15 @@ def main():
         for it in range(2 if mode != "inline" else 1):
             blocks, dt = run(mode)
             best = dt if best is None else min(best, dt)
+        from multiz_tpu.maf import format_ali
+
+        rendered = "".join(format_ali(a) for a in blocks)
         if base is None:
-            base = blocks
+            base = rendered
         else:
-            same = len(base) == len(blocks) and all(
-                a.comps[0].start == b.comps[0].start
-                and a.text_size == b.text_size
-                for a, b in zip(base, blocks)
-            )
-            assert same, f"mode {mode} output differs!"
+            # full rendered-block byte equality across modes (rows,
+            # texts, scores — not just counts/starts)
+            assert rendered == base, f"mode {mode} output differs!"
         print(
             json.dumps(
                 {

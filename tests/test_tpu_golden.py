@@ -1,0 +1,94 @@
+"""Chip-gated end-to-end goldens: the PRODUCTION packed Pallas kernel
+on the real TPU must reproduce the reference byte-for-byte.
+
+The default suite runs on the virtual CPU mesh (tests/conftest.py) and
+never exercises the on-chip compile path; these tests close that gap
+(VERDICT r2 item 7). They are deselected by default (pytest.ini:
+-m "not tpu") and run with `pytest -m tpu` on a host with a live chip.
+Reference behavior under test: multiz merge scan (multiz.c:60-177) and
+the tba dataflow (tba.c:114-276) with every overlap DP executed by
+yama_batch_packed on the chip instead of the host oracle.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+
+import pytest
+
+from .conftest import GOLDEN
+
+pytestmark = pytest.mark.tpu
+
+DATA = os.path.join(GOLDEN, "data")
+EXPECT = os.path.join(GOLDEN, "expect")
+
+
+@pytest.fixture(scope="module")
+def tpu_device():
+    import jax
+
+    try:
+        devs = jax.devices("tpu")
+    except RuntimeError:
+        devs = []
+    if not devs:
+        pytest.skip("no TPU device on this host")
+    return devs[0]
+
+
+def _expect(name: str) -> str:
+    with open(os.path.join(EXPECT, name)) as fh:
+        return fh.read()
+
+
+def _block_lines(text: str):
+    return [l for l in text.split("\n") if l and not l.startswith("#")]
+
+
+@pytest.mark.parametrize("v", [1, 0])
+def test_multiz_golden_packed_on_chip(tpu_device, v, monkeypatch):
+    import jax
+
+    from multiz_tpu.cli import multiz as cli
+
+    monkeypatch.setenv("MULTIZ_TPU_DEVICE", "packed")
+    out = io.StringIO()
+    with jax.default_device(tpu_device):
+        cli.main(
+            [os.path.join(DATA, "human.chimp.sing.maf"),
+             os.path.join(DATA, "human.mouse.sing.maf"), str(v)],
+            out=out,
+        )
+    got = "\n".join(
+        l for l in out.getvalue().split("\n")
+        if not l.startswith("# multiz.v")
+    )
+    want = "\n".join(
+        l for l in _expect(f"multiz_v{v}.maf").split("\n")
+        if not l.startswith("# multiz.v")
+    )
+    assert got == want  # byte-identical modulo the argv echo line
+
+
+def test_tba_golden_packed_on_chip(tpu_device):
+    import jax
+
+    from multiz_tpu import scores as sc
+    from multiz_tpu.maf import format_ali
+    from multiz_tpu.multiz import MultizConfig
+    from multiz_tpu.ops.yama_pack import yama_batch_packed
+    from multiz_tpu.tree import tba_run
+
+    sp = sc.init_scores70()
+    cfg = MultizConfig(batch_fn=yama_batch_packed)
+    with jax.default_device(tpu_device):
+        blocks = tba_run(
+            "(((human chimp) mouse) rat)",
+            ["human.chimp.sing.maf", "human.mouse.sing.maf",
+             "human.rat.sing.maf"],
+            src_dir=DATA, cfg=cfg, sp=sp,
+        )
+    rendered = "".join(format_ali(a) for a in blocks)
+    assert _block_lines(rendered) == _block_lines(_expect("tba4.maf"))
