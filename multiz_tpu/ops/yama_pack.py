@@ -635,13 +635,16 @@ def _tb_kernel(w0_ref, mn_ref, last_ref, flags_ref,
             # Mosaic refuses unaligned dynamic sublane loads: fetch the
             # 8-aligned (8,128) tile and mask-select the wanted row.
             rl8 = pl.multiple_of((rl >> 3) << 3, 8)
-            rowv = flags_ref[p, pl.ds(rl8, 8), pl.ds(jb, 128)]  # (8,128)
-            st = jnp.where(
-                (j >= 0) & (j < CW),
-                jnp.sum(jnp.where(
-                    (sl8 == (rl & 7)) & (jl8 == (j & 127)), rowv, 0)),
-                0,
-            )
+            if _PERF_KNOB == "tb_noload":
+                st = (it + p) & 63
+            else:
+                rowv = flags_ref[p, pl.ds(rl8, 8), pl.ds(jb, 128)]
+                st = jnp.where(
+                    (j >= 0) & (j < CW),
+                    jnp.sum(jnp.where(
+                        (sl8 == (rl & 7)) & (jl8 == (j & 127)), rowv, 0)),
+                    0,
+                )
             # scalar-core script emission: op k -> bits 2*(k&15) of
             # word k>>4; words land in reg lane (k>>4)&127
             acc = jnp.where(
@@ -649,19 +652,22 @@ def _tb_kernel(w0_ref, mn_ref, last_ref, flags_ref,
             )
             wi = k >> 4
 
-            @pl.when((~parked) & ((k & 15) == 15))
-            def _(acc=acc, wi=wi, p=p):
-                reg_ref[:, :] = jnp.where(
-                    (sub8 == p) & (lane8 == (wi & 127)), acc, reg_ref[:, :]
-                )
+            if _PERF_KNOB != "tb_noemit":
+                @pl.when((~parked) & ((k & 15) == 15))
+                def _(acc=acc, wi=wi, p=p):
+                    reg_ref[:, :] = jnp.where(
+                        (sub8 == p) & (lane8 == (wi & 127)), acc,
+                        reg_ref[:, :]
+                    )
 
             acc = jnp.where((~parked) & ((k & 15) == 15), 0, acc)
 
-            @pl.when((~parked) & ((k & 2047) == 2047))
-            def _(wi=wi, p=p):
-                script_ref[0, p, pl.ds(wi >> 7, 1), :] = reg_ref[
-                    p : p + 1, :
-                ]
+            if _PERF_KNOB != "tb_noemit":
+                @pl.when((~parked) & ((k & 2047) == 2047))
+                def _(wi=wi, p=p):
+                    script_ref[0, p, pl.ds(wi >> 7, 1), :] = reg_ref[
+                        p : p + 1, :
+                    ]
 
             is_i = node == FLAG_I
             is_d = node == FLAG_D

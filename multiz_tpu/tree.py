@@ -657,6 +657,83 @@ def roast_plan(ref, tree, pair_files, suffix=".sing.maf",
     return lines
 
 
+class SharedBatch:
+    """Cross-node DP batching for concurrent tree merges (VERDICT r2
+    item 6). Each merge thread's per-round DP job list is pooled with
+    every other thread's and executed as ONE device batch, keeping
+    launches wide through the whole tree (the reference runs merges —
+    and therefore DPs — strictly sequentially, speciesTree.c:71-110).
+
+    Dispatch fires when every ACTIVE merge thread (deps satisfied, past
+    ``enter()``) is parked here, or after ``wait_s`` — so a thread never
+    stalls behind another thread's host-side phase for long. Results
+    are split back per submitter; batching cannot change them (the
+    batch backend buckets by shape and is bit-exact per job)."""
+
+    def __init__(self, inner: Callable, wait_s: float | None = None):
+        import threading
+
+        if wait_s is None:
+            wait_s = float(os.environ.get("MZ_BATCH_WAIT", "0.05"))
+        self.inner = inner
+        self.wait_s = wait_s
+        self.cv = threading.Condition()
+        self.active = 0
+        self.queue: list = []  # [jobs, sp, result, done, err]
+
+    def enter(self) -> None:
+        with self.cv:
+            self.active += 1
+
+    def leave(self) -> None:
+        with self.cv:
+            self.active -= 1
+            self.cv.notify_all()
+
+    def __call__(self, jobs, sp=None):
+        import time as _time
+
+        entry = [list(jobs), sp, None, False, None]
+        with self.cv:
+            self.queue.append(entry)
+            deadline = _time.monotonic() + self.wait_s
+            while not entry[3]:
+                now = _time.monotonic()
+                if len(self.queue) >= self.active or now >= deadline:
+                    if entry in self.queue:
+                        self._dispatch()  # I lead; serves current queue
+                        continue
+                    # someone else is mid-dispatch with my entry
+                    self.cv.wait(timeout=0.005)
+                else:
+                    self.cv.wait(timeout=max(deadline - now, 0.001))
+        if entry[4] is not None:
+            raise entry[4]
+        return entry[2]
+
+    def _dispatch(self) -> None:
+        # called with self.cv held; releases it around the device call
+        batch, self.queue = self.queue, []
+        allj = [j for e in batch for j in e[0]]
+        sp = batch[0][1]
+        self.cv.release()
+        try:
+            try:
+                outs = self.inner(allj, sp=sp)
+                off = 0
+                for e in batch:
+                    e[2] = outs[off : off + len(e[0])]
+                    off += len(e[0])
+            except BaseException as exc:  # propagate to every waiter
+                for e in batch:
+                    e[4] = exc
+        finally:
+            for e in batch:
+                e[3] = True
+            self.cv.acquire()
+            self.cv.notify_all()
+
+
 def tba_run(tree, pair_files, src_dir=".", cfg=None, suffix=".sing.maf",
             ref=None, sp=None, aligner="multiz",
             parallel: int | None = None) -> Blocks:
@@ -702,6 +779,14 @@ def tba_run(tree, pair_files, src_dir=".", cfg=None, suffix=".sing.maf",
 
     failed: dict[int, BaseException] = {}
 
+    # pool DP jobs from concurrent merges into shared device batches
+    shared = None
+    if eng.cfg.batch_fn is not None:
+        from dataclasses import replace as _dc_replace
+
+        shared = SharedBatch(eng.cfg.batch_fn)
+        eng.cfg = _dc_replace(eng.cfg, batch_fn=shared)
+
     def runner(task):
         # events are set in the finally block even on failure — otherwise a
         # raising merge would leave its dependents waiting forever and the
@@ -714,17 +799,23 @@ def tba_run(tree, pair_files, src_dir=".", cfg=None, suffix=".sing.maf",
                 events[y_id].wait()
             if x_id in failed or y_id in failed:
                 raise RuntimeError(f"tba merge {nid}: upstream merge failed")
-            left = eng.tba.pop(x_id) if x_id >= 0 else []
-            right = eng.tba.pop(y_id) if y_id >= 0 else []
-            if swap:
-                left, right = right, left
-            eng.left[nid] = left
-            eng.right[nid] = right
-            eng.tba[nid] = []
-            eng._merge_data(nid, n1s, n2s, swap)
-            if had[0] or had[1]:
-                eng.tba[nid].extend(eng.left.get(nid, []))
-                eng.tba[nid].extend(eng.right.get(nid, []))
+            if shared is not None:
+                shared.enter()
+            try:
+                left = eng.tba.pop(x_id) if x_id >= 0 else []
+                right = eng.tba.pop(y_id) if y_id >= 0 else []
+                if swap:
+                    left, right = right, left
+                eng.left[nid] = left
+                eng.right[nid] = right
+                eng.tba[nid] = []
+                eng._merge_data(nid, n1s, n2s, swap)
+                if had[0] or had[1]:
+                    eng.tba[nid].extend(eng.left.get(nid, []))
+                    eng.tba[nid].extend(eng.right.get(nid, []))
+            finally:
+                if shared is not None:
+                    shared.leave()
         except BaseException as e:
             failed[nid] = e
             raise

@@ -44,7 +44,8 @@ from multiz_tpu.parallel.distributed import (
 )
 
 # fixed global workload regardless of process count
-jobs = synth_jobs(96, m_lo=192, m_hi=255, k_lo=1, k_hi=3, radius=30,
+njobs = int(os.environ.get("MZ_PROXY_JOBS", "96"))
+jobs = synth_jobs(njobs, m_lo=192, m_hi=255, k_lo=1, k_hi=3, radius=30,
                   seed=11)
 lo, hi = local_shard(len(jobs))
 local = jobs[lo:hi]

@@ -64,6 +64,20 @@ def test_tba_5species_parallel():
     assert block_lines(render(blocks)) == expect("tba5.maf")
 
 
+def test_tba_5species_parallel_shared_batch():
+    """Concurrent merges pooling DP jobs into shared batches
+    (tree.SharedBatch) are byte-identical to the sequential scan."""
+    from multiz_tpu.multiz import MultizConfig
+    from multiz_tpu.ops.dispatch import host_batch
+
+    sp = sc.init_scores70()
+    blocks = tba_run(
+        TREE, PAIRS, src_dir=DATA, sp=sp, parallel=4,
+        cfg=MultizConfig(batch_fn=host_batch),
+    )
+    assert block_lines(render(blocks)) == expect("tba5.maf")
+
+
 def test_roast_5species_multichrom():
     sp = sc.init_scores70()
     blocks = roast_run("human", TREE, PAIRS, src_dir=DATA, sp=sp)
