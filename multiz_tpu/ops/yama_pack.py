@@ -689,7 +689,7 @@ def _tb_kernel(w0_ref, mn_ref, last_ref, flags_ref,
         # every word (incl. the final partial one) is already in the
         # SMEM output; only the edit count remains
         for p in range(tnp):
-            ned_ref[0, p] = ks[p]
+            ned_ref[0, 0, p] = ks[p]
 
 
 def _pallas_traceback(flags_b, W0c, mn, last, mp_rows, srows, tnp):
@@ -724,12 +724,15 @@ def _pallas_traceback(flags_b, W0c, mn, last, mp_rows, srows, tnp):
         out_specs=[
             pl.BlockSpec((1, tnp, srows2 * 128), lambda g, w: (g, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, tnp), lambda g, w: (g, 0),
+            # rank-3 with full trailing dims: a rank-2 (1, tnp) block
+            # over (G, tnp) fails Mosaic lowering for G > 1 (the
+            # sublane dim must be 8-divisible or full)
+            pl.BlockSpec((1, 1, tnp), lambda g, w: (g, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((G, tnp, srows2 * 128), jnp.int32),
-            jax.ShapeDtypeStruct((G, tnp), jnp.int32),
+            jax.ShapeDtypeStruct((G, 1, tnp), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.SMEM((5, tnp), jnp.int32),  # row/col/node/k/acc per walk

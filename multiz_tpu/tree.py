@@ -700,7 +700,10 @@ class SharedBatch:
             while not entry[3]:
                 now = _time.monotonic()
                 if len(self.queue) >= self.active or now >= deadline:
-                    if entry in self.queue:
+                    # identity test: value-equality (`in`) would compare
+                    # job tuples of ndarrays and raise, or alias two
+                    # distinct entries with equal job lists
+                    if any(e is entry for e in self.queue):
                         self._dispatch()  # I lead; serves current queue
                         continue
                     # someone else is mid-dispatch with my entry
@@ -716,6 +719,10 @@ class SharedBatch:
         batch, self.queue = self.queue, []
         allj = [j for e in batch for j in e[0]]
         sp = batch[0][1]
+        # one pooled device call serves the whole batch with ONE sp
+        assert all(e[1] is sp for e in batch), (
+            "SharedBatch entries must share score params"
+        )
         self.cv.release()
         try:
             try:

@@ -171,8 +171,12 @@ def yama_numpy(
 
     sa = column_stats(A)
     sb = column_stats(B)
-    # Substitution bilinear form: (M+1, N+1); row/col 0 are zero.
-    SUB = sa.hist.astype(np.int64) @ sp.ss_cat.astype(np.int64) @ sb.hist.T
+    # Substitution bilinear form SUB[m, n] = histA[m] . ss . histB[n],
+    # projected through B once: sbp[n] = ss @ histB[n]. Materializing
+    # the dense (M+1, N+1) product would cost 20GB at 50kb x 50kb; the
+    # DP only ever reads the band of each row (computed per row below).
+    sbp = sb.hist.astype(np.int64) @ sp.ss_cat.astype(np.int64).T  # (N+1, 6)
+    histA64 = sa.hist.astype(np.int64)  # (M+1, 6)
 
     b0 = sb.nond.astype(np.int64)  # (N+1,)
     b1 = sb.ndash.astype(np.int64)
@@ -194,8 +198,15 @@ def yama_numpy(
         # row-0 I chain: free end-gap? No: charged extension only.
         dpI[1 : r0 + 1] = -np.cumsum(b0[1 : r0 + 1]) * K * ge
 
-    flags = np.zeros((M + 1, N + 1), dtype=np.uint8)
-    flags[0, 1 : r0 + 1] = FLAG_I << 4
+    # Band-sized traceback storage, exactly like the reference's
+    # tback_size = sum over rows of RB-LB+1 (mz_yama.c:60-77) and the
+    # native path (mzcore.cpp:302-313): a 50kb x 50kb R=30 problem
+    # needs ~14MB of flags, not the (M+1)*(N+1) = 2.5GB dense matrix.
+    widths = (RB[: M + 1] - LB[: M + 1] + 1).astype(np.int64)
+    toff = np.zeros(M + 1, dtype=np.int64)
+    toff[1:] = np.cumsum(widths[:-1])
+    flags = np.zeros(int(widths.sum()), dtype=np.uint8)
+    flags[toff[0] + 1 : toff[0] + r0 + 1] = FLAG_I << 4
 
     lastC = lastD = lastI = MININT  # running values at (M, N) after the loop
 
@@ -259,7 +270,7 @@ def yama_numpy(
         zs = zs - np.where(gt1 & (cs > lbm1 + 1), zC, 0)
         pickC = (xs >= ys) & (xs >= zs)
         pickD = ~pickC & (ys > zs)
-        C_row = np.where(pickC, xs, np.where(pickD, ys, zs)) + SUB[row, cs]
+        C_row = np.where(pickC, xs, np.where(pickD, ys, zs)) + sbp[cs] @ histA64[row]
         flag_c = np.where(pickC, FLAG_C, np.where(pickD, FLAG_D, FLAG_I)).astype(
             np.uint8
         )
@@ -300,7 +311,7 @@ def yama_numpy(
             flag_i[k] = fl
             Iprev = val
 
-        flags[row, lb : rb + 1] = flag_c | (flag_d << 2) | (flag_i << 4)
+        flags[toff[row] : toff[row] + w] = flag_c | (flag_d << 2) | (flag_i << 4)
         dpC[lb : rb + 1] = C_row
         dpD[lb : rb + 1] = D_row
         dpI[lb : rb + 1] = I_row
@@ -309,8 +320,53 @@ def yama_numpy(
     if M == 0:
         lastC = lastD = lastI = MININT  # mz_yama.c:96 before an empty loop
 
-    script = traceback(flags, LB, M, N, lastC, lastD, lastI)
+    script = _traceback_banded(flags, toff, LB, RB, M, N, lastC, lastD, lastI)
     return _replay(script, A, B)
+
+
+def _traceback_banded(
+    flags: np.ndarray,
+    toff: np.ndarray,
+    LB: np.ndarray,
+    RB: np.ndarray,
+    M: int,
+    N: int,
+    C: int,
+    D: int,
+    I: int,
+) -> np.ndarray:
+    """Edit-script extraction over band-local flag storage
+    (mz_yama.c:257-291 with the trow addressing of mz_yama.c:77-91).
+    A walk leaving the band means a malformed script (the native path
+    treats it the same way, mzcore.cpp:425-427). Ops oldest-first."""
+    if C >= D and C >= I:
+        node = FLAG_C
+    elif D >= I:
+        node = FLAG_D
+    else:
+        node = FLAG_I
+    row, col = M, N
+    script = np.empty(M + N, dtype=np.uint8)
+    nedit = 0
+    while row > 0 or col > 0:
+        if row < 0 or col < 0 or col < LB[row] or col > RB[row]:
+            raise YamaError("Error generating edit script.")
+        st = flags[toff[row] + col - LB[row]]
+        script[nedit] = node
+        nedit += 1
+        if node == FLAG_I:
+            col -= 1
+            node = st >> 4
+        elif node == FLAG_D:
+            row -= 1
+            node = (st >> 2) & SELECT_CID
+        elif node == FLAG_C:
+            row -= 1
+            col -= 1
+            node = st & SELECT_CID
+        else:
+            raise YamaError("illegal node type in traceback")
+    return script[:nedit][::-1].copy()
 
 
 def traceback(

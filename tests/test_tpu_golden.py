@@ -25,6 +25,15 @@ DATA = os.path.join(GOLDEN, "data")
 EXPECT = os.path.join(GOLDEN, "expect")
 
 
+@pytest.fixture(autouse=True)
+def _force_chip(monkeypatch):
+    """Force every DP bucket onto the kernel: the default host-route
+    threshold (1M cells) would send these small golden workloads to the
+    native host DP and the chip would never be exercised (the exact gap
+    that let the r3 G>1 lowering regression ship — VERDICT r3 weak #2)."""
+    monkeypatch.setenv("MZ_HOST_ROUTE_CELLS", "0")
+
+
 @pytest.fixture(scope="module")
 def tpu_device():
     import jax
@@ -92,3 +101,33 @@ def test_tba_golden_packed_on_chip(tpu_device):
         )
     rendered = "".join(format_ali(a) for a in blocks)
     assert _block_lines(rendered) == _block_lines(_expect("tba4.maf"))
+
+
+def test_fuzz_multigroup_on_chip(tpu_device):
+    """On-chip bit-equality at G > 1 with multiple buckets.
+
+    2*NPACK+3 problems in one bucket force two sublane groups through
+    the DP and traceback pallas_calls (grid dim 0 > 1) plus a second,
+    smaller bucket shape — the exact configuration whose Mosaic
+    lowering broke at r3 HEAD while every green test routed around it.
+    Bit-exactness bar: mz_yama.c:138-154 tie-breaking."""
+    import jax
+    import numpy as np
+
+    from multiz_tpu import yama as Y
+    from multiz_tpu.ops import yama_pack as YP
+    from multiz_tpu.ops.synth import synth_jobs
+
+    np_ = YP._np_active()
+    # bucket 1: sizes ~90-120 (one padded shape, > 2 groups)
+    jobs = synth_jobs(2 * np_ + 3, m_lo=90, m_hi=120, k_lo=1, k_hi=4,
+                      radius=30, seed=101)
+    # bucket 2: a clearly different padded shape
+    jobs += synth_jobs(5, m_lo=200, m_hi=240, k_lo=1, k_hi=2,
+                       radius=30, seed=102)
+    with jax.default_device(tpu_device):
+        got = YP.yama_batch_packed(jobs)
+    assert len(got) == len(jobs)
+    for i, ((A, B, LB, RB), out) in enumerate(zip(jobs, got)):
+        want = Y.yama_numpy(A, B, LB, RB)
+        np.testing.assert_array_equal(out, want, err_msg=f"job {i}")
