@@ -184,7 +184,7 @@ import functools
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_db(mesh, go, ge, m_pad, n_pad, Kp, Lp, np_, pm_d):
+def _sharded_db(mesh, go, ge, m_pad, n_pad, Kp, Lp, np_, pm_d, cw):
     """Jitted shard_map of the PRODUCTION packed kernel over ``mesh``'s
     ``blocks`` axis, cached per (mesh, bucket shape). Each device runs
     _db_core on its problem shard; results are all-gathered over ICI so
@@ -198,7 +198,7 @@ def _sharded_db(mesh, go, ge, m_pad, n_pad, Kp, Lp, np_, pm_d):
     def local(at, bt, lb, rb, mn, ss):
         out = _db_core(at, bt, lb, rb, mn, ss, go=go, ge=ge,
                        m_pad=m_pad, n_pad=n_pad, Kp=Kp, Lp=Lp,
-                       np_=np_, pm_d=pm_d)
+                       np_=np_, pm_d=pm_d, cw=cw)
         return jax.lax.all_gather(out, "blocks", axis=0, tiled=True)
 
     sm = jax.shard_map(
@@ -243,7 +243,6 @@ def distributed_yama_batch_packed(jobs, mesh=None, sp=None):
     ndev = mesh.shape["blocks"]
     go, ge = int(sp.gap_open), int(sp.gap_extend)
     ss_cat = jnp.asarray(sp.ss_cat)
-    np_ = YP._np_active()
 
     buckets, band_d = {}, {}
     results = [None] * len(jobs)
@@ -253,22 +252,30 @@ def distributed_yama_batch_packed(jobs, mesh=None, sp=None):
         LBa = np.asarray(LB, dtype=np.int64)
         RBa = np.asarray(RB, dtype=np.int64)
         _check_band(LBa, RBa, M, N)
-        if not YP.fits_packed(LBa, RBa, M, N):
+        cw = YP.pick_cw(LBa, RBa, M, N)
+        if cw is None:
             results[idx] = yama_numpy(A, B, LBa, RBa, sp=sp)
             continue
         p = max(_pad_to(M), _pad_to(N))
-        key = (p, p, YP._pad8(K), YP._pad8(L))
+        key = (p, p, YP._pad8(K), YP._pad8(L), cw)
         buckets.setdefault(key, []).append(idx)
         w = int((RBa[: M + 1] - LBa[: M + 1]).max())
         band_d[key] = max(band_d.get(key, 1), w)
 
     nproc = jax.process_count()
     pid = jax.process_index()
-    for (m_pad, n_pad, Kp, Lp), idxs in sorted(buckets.items()):
+    for (m_pad, n_pad, Kp, Lp, cw), idxs in sorted(buckets.items()):
+        # group width from the GLOBAL count (identical on every
+        # process), sized so groups divide evenly across devices with
+        # minimal padding (the r3 96-job efficiency miss)
+        np_ = YP.plan_group_width(
+            len(idxs), ndev,
+            cap=max(8, YP._np_active() // (cw // 256)),
+        )
         nb = -(-len(idxs) // (ndev * np_)) * (ndev * np_)
         run = idxs + [idxs[-1]] * (nb - len(idxs))
         pm_d = 16
-        while pm_d < min(band_d[(m_pad, n_pad, Kp, Lp)], YP.CW):
+        while pm_d < min(band_d[(m_pad, n_pad, Kp, Lp, cw)], cw):
             pm_d *= 2
         mp1 = m_pad + 1
         # this process's contiguous row range (mesh devices are
@@ -300,7 +307,8 @@ def distributed_yama_batch_packed(jobs, mesh=None, sp=None):
                 return jax.device_put(arr, sharding)
             return jax.make_array_from_process_local_data(sharding, arr)
 
-        fn = _sharded_db(mesh, go, ge, m_pad, n_pad, Kp, Lp, np_, pm_d)
+        fn = _sharded_db(mesh, go, ge, m_pad, n_pad, Kp, Lp, np_, pm_d,
+                         cw)
         ss_rep = jax.device_put(
             ss_cat, NamedSharding(mesh, P(None, None))
         )

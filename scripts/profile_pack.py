@@ -102,7 +102,7 @@ def main():
         M, N, K, L = MNKL[:, 0], MNKL[:, 1], MNKL[:, 2], MNKL[:, 3]
         prep = jax.vmap(lambda at, btx, lb, rb, m, n, k, l: yp._prep_one(
             at, btx, lb, rb, m, n, k, l, ss_cat, go, ge,
-            m_pad, n_pad, Kp, Lp, nchunks, npadl, mp_rows))(
+            m_pad, n_pad, Kp, Lp, nchunks, npadl, mp_rows, yp.CW))(
             Atex, Btex, LB, RB, M, N, K, L)
         bst, astream, dp0, f0, W0c = prep
         bst_g = bst.reshape(G, NPV, yp.NBSTAT, npadl)
@@ -118,14 +118,14 @@ def main():
     def dp_only(bases_g, bst_g, astream_g, dp0_g, f0_g, go, ge, nchunks,
                 npadl, G, pm_d):
         return yp._pallas_dp(bases_g, bst_g, astream_g, dp0_g, f0_g,
-                             go, ge, nchunks, npadl, G, NPV, pm_d)
+                             go, ge, nchunks, npadl, G, NPV, pm_d, yp.CW)
 
     @functools.partial(jax.jit, static_argnames=("mp_rows", "srows", "B"))
     def tb_only(flags, W0c, mn, last, mp_rows, srows, B):
         flags_b = flags.transpose(0, 3, 1, 2, 4).reshape(B, mp_rows, yp.CW)
         last_b = last.reshape(B, 1, 8)
         return yp._pallas_traceback(flags_b, W0c, mn, last_b, mp_rows, srows,
-                                    NPV)
+                                    NPV, yp.CW)
 
     ITERS = int(os.environ.get("ITERS", "5"))
     # warm + measure per bucket
@@ -174,7 +174,7 @@ def main():
             t4 = time.perf_counter()
             out = yp._device_batch(dbuf, ss_cat, go=go, ge=ge,
                                    m_pad=m_pad, n_pad=n_pad, Kp=Kp, Lp=Lp,
-                                   B=nb, np_=NPV, pm_d=pm_d)
+                                   B=nb, np_=NPV, pm_d=pm_d, cw=yp.CW)
             out.block_until_ready()
             t5 = time.perf_counter()
             if measure:

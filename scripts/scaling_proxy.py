@@ -1,16 +1,19 @@
 """Multi-host scaling-efficiency proxy (BASELINE gate: >=80% at 2 hosts).
 
 Real 2-host TPU hardware is not available in this environment (one
-tunneled chip), so this measures the scaling of the distributed DP
-batch over jax.distributed PROCESSES on the CPU backend, with each
-process pinned to its own physical core via taskset — process p on
-core p models host p: separate runtime, separate compute resource,
-real cross-process collectives through the distributed runtime.
+tunneled chip), so this measures the scaling of the PRODUCTION packed
+DP path (``distributed_yama_batch_packed`` — the same shard_map +
+all-gather program the chip runs, executed in Pallas interpret mode on
+the CPU backend) over jax.distributed PROCESSES, with each process
+pinned to its own physical core via taskset — process p on core p
+models host p: separate runtime, separate compute resource, real
+cross-process collectives through the distributed runtime.
 
 Fixed GLOBAL workload; T(n) = best wall time of the collective batch
 call over ITERS runs (post-compile); efficiency = T(1) / (n * T(n)).
+Measured at 96 jobs (narrow — the r3 gate miss) and 256 jobs.
 
-Run: python scripts/scaling_proxy.py   (prints one JSON line)
+Run: python scripts/scaling_proxy.py   (prints one JSON line per width)
 """
 
 from __future__ import annotations
@@ -38,24 +41,24 @@ if nproc > 1:
         process_id=int(os.environ["MZ_PID"]),
     )
 
+from multiz_tpu.ops import yama_pack as YP
 from multiz_tpu.ops.synth import synth_jobs
-from multiz_tpu.parallel.distributed import (
-    distributed_yama_batch, local_shard,
-)
+from multiz_tpu.parallel.distributed import distributed_yama_batch_packed
 
-# fixed global workload regardless of process count
+YP.INTERPRET = True  # CPU backend cannot compile Mosaic; same program
+
+# fixed global workload regardless of process count (identical list on
+# every process; the pipeline plans deterministically the same way)
 njobs = int(os.environ.get("MZ_PROXY_JOBS", "96"))
 jobs = synth_jobs(njobs, m_lo=192, m_hi=255, k_lo=1, k_hi=3, radius=30,
                   seed=11)
-lo, hi = local_shard(len(jobs))
-local = jobs[lo:hi]
 
-distributed_yama_batch(local)  # compile + warm
-iters = int(os.environ.get("MZ_ITERS", "5"))
+distributed_yama_batch_packed(jobs)  # compile + warm
+iters = int(os.environ.get("MZ_ITERS", "3"))
 best = 1e9
 for _ in range(iters):
     t0 = time.perf_counter()
-    distributed_yama_batch(local)
+    distributed_yama_batch_packed(jobs)
     best = min(best, time.perf_counter() - t0)
 if int(os.environ["MZ_PID"]) == 0:
     print(f"RESULT {best:.4f}", flush=True)
@@ -70,7 +73,7 @@ def _free_port():
     return p
 
 
-def run_config(nproc: int) -> float:
+def run_config(nproc: int, njobs: int) -> float:
     port = _free_port()
     procs = []
     for pid in range(nproc):
@@ -84,6 +87,8 @@ def run_config(nproc: int) -> float:
             MZ_COORD=f"127.0.0.1:{port}",
             MZ_NPROC=str(nproc),
             MZ_PID=str(pid),
+            MZ_PROXY_JOBS=str(njobs),
+            MZ_HOST_ROUTE_CELLS="0",
             PYTHONPATH=ppath,
             JAX_PLATFORMS="cpu",
             XLA_FLAGS="--xla_force_host_platform_device_count=1",
@@ -97,7 +102,7 @@ def run_config(nproc: int) -> float:
         )
     t = None
     for p in procs:
-        out, _ = p.communicate(timeout=600)
+        out, _ = p.communicate(timeout=1800)
         if p.returncode != 0:
             raise RuntimeError(out[-2000:])
         for line in out.splitlines():
@@ -108,16 +113,19 @@ def run_config(nproc: int) -> float:
 
 
 def main():
-    t1 = run_config(1)
-    t2 = run_config(2)
-    eff = t1 / (2 * t2)
-    print(json.dumps({
-        "metric": "scaling_efficiency_2proc_cpu_proxy",
-        "t1_sec": round(t1, 4),
-        "t2_sec": round(t2, 4),
-        "value": round(eff, 3),
-        "gate": 0.80,
-    }))
+    widths = [int(w) for w in sys.argv[1:]] or [96, 256]
+    for njobs in widths:
+        t1 = run_config(1, njobs)
+        t2 = run_config(2, njobs)
+        eff = t1 / (2 * t2)
+        print(json.dumps({
+            "metric": "scaling_efficiency_2proc_cpu_proxy_packed",
+            "jobs": njobs,
+            "t1_sec": round(t1, 4),
+            "t2_sec": round(t2, 4),
+            "value": round(eff, 3),
+            "gate": 0.80,
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -124,7 +124,7 @@ def _run_workers(worker_src, nproc=2):
         )
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=280)
+        out, _ = p.communicate(timeout=560)
         outs.append(out)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]

