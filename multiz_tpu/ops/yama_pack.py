@@ -110,22 +110,21 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _cats(text, nrows):
-    """BYTE2CAT (scores.py:46-50) as elementwise compares; rows >= nrows
-    (padding) read as dash so they contribute nothing to histograms/pairs
-    once masked. text: (rp, cols) uint8 — row-major so every vector op
-    runs on full (8, cols) tiles (cols on the 128-lane axis; the old
-    (cols, rp) layout put rp=8 on lanes and wasted 15/16 of each op)."""
-    up = text & jnp.uint8(0xDF)
-    cat = jnp.where(
-        up == ord("A"), 0,
-        jnp.where(up == ord("C"), 1,
-                  jnp.where(up == ord("G"), 2,
-                            jnp.where(up == ord("T"), 3,
-                                      jnp.where(text == ord("-"), 4, 5)))),
-    ).astype(jnp.int32)
+def _cats(packed, nrows):
+    """Unpack host-packed category nibbles into per-row categories.
+
+    ``packed`` (rp2, cols) uint8: the low nibble of packed row p is the
+    BYTE2CAT category (scores.py:46-50) of alignment row p, the high
+    nibble is row p + rp2 — so unpacking is a plain concat with NO row
+    interleave. Shipping 4-bit categories instead of text bytes halves
+    the H2D payload and removes the 5-way byte classification from the
+    device prep (the host's BYTE2CAT table lookup is a vectorized numpy
+    gather). Rows >= nrows are padding, masked by rmask."""
+    lo = (packed & jnp.uint8(0x0F)).astype(jnp.int32)
+    hi = (packed >> 4).astype(jnp.int32)
+    cat = jnp.concatenate([lo, hi], axis=0)  # (2*rp2, cols)
     rmask = jax.lax.broadcasted_iota(
-        jnp.int32, text.shape, 0
+        jnp.int32, cat.shape, 0
     ) < nrows
     return cat, rmask
 
@@ -169,8 +168,9 @@ def _shift_rows(arr, fill=0):
 
 def _prep_one(Atex, Btex, LB, RB, M, N, K, L, ss_cat, go, ge,
               m_pad, n_pad, Kp, Lp, nchunks, npadl, mp_rows, cw):
-    """Kernel operands for ONE problem. Atex (Kp, m_pad) uint8 row-major,
-    LB/RB (m_pad+1,) int32 (padded with LB[M]/RB[M] beyond M)."""
+    """Kernel operands for ONE problem. Atex (Kp2, m_pad) uint8
+    row-major packed category nibbles (see _cats), LB/RB (m_pad+1,)
+    int32 (padded with LB[M]/RB[M] beyond M)."""
     histA, a0, a1, paA = _col_stats(Atex, K)  # (.., m_pad)
     histB, b0, b1, pbB = _col_stats(Btex, L)  # (.., n_pad)
     sub_right = ss_cat @ histB  # (6, n_pad)
@@ -767,23 +767,28 @@ def _device_batch(buf, ss_cat, go, ge, m_pad, n_pad, Kp, Lp, B,
     jitted program with one H2D operand and one D2H payload.
 
     Returns out (B, 4 + srows2*512) uint8: [nedit LE32] + edit script
-    packed 4 ops/byte, newest-first."""
-    mp1 = m_pad + 1
+    packed 4 ops/byte, newest-first.
 
-    # unpack the single uint8 buffer (layout mirrored in _pack_bucket)
+    Wire format (mirrored by the pack loop in yama_batch_packed):
+    category nibbles 2 rows/byte (see _cats) and uint16 band bounds —
+    together ~3x less H2D traffic than raw text bytes + int32 bands."""
+    mp1 = m_pad + 1
+    Kp2 = -(-Kp // 2)
+    Lp2 = -(-Lp // 2)
+
     oA = 0
-    oB = oA + B * m_pad * Kp
-    oLB = oB + B * n_pad * Lp
-    oRB = oLB + B * mp1 * 4
-    oS = oRB + B * mp1 * 4
-    Atex = buf[oA:oB].reshape(B, Kp, m_pad)
-    Btex = buf[oB:oLB].reshape(B, Lp, n_pad)
+    oB = oA + B * m_pad * Kp2
+    oLB = oB + B * n_pad * Lp2
+    oRB = oLB + B * mp1 * 2
+    oS = oRB + B * mp1 * 2
+    Atex = buf[oA:oB].reshape(B, Kp2, m_pad)
+    Btex = buf[oB:oLB].reshape(B, Lp2, n_pad)
     LB = jax.lax.bitcast_convert_type(
-        buf[oLB:oRB].reshape(B, mp1, 4), jnp.int32
-    )
+        buf[oLB:oRB].reshape(B, mp1, 2), jnp.uint16
+    ).astype(jnp.int32)
     RB = jax.lax.bitcast_convert_type(
-        buf[oRB:oS].reshape(B, mp1, 4), jnp.int32
-    )
+        buf[oRB:oS].reshape(B, mp1, 2), jnp.uint16
+    ).astype(jnp.int32)
     MNKL = jax.lax.bitcast_convert_type(
         buf[oS : oS + B * 16].reshape(B, 4, 4), jnp.int32
     )
@@ -833,8 +838,14 @@ def _db_core(Atex, Btex, LB, RB, MNKL, ss_cat, *, go, ge,
     last_b = last.reshape(B, 1, 8)
     mn = jnp.stack([M, N], axis=-1).astype(jnp.int32)[:, None, :]
     srows = -(-(m_pad + n_pad + 1) // 128)
+    # traceback walks per grid step: more interleaved walks hide more
+    # per-step load latency; independent of the DP group width
+    tnp = np_
+    tb_req = int(_os.environ.get("MZ_TB_TNP", "0"))
+    while tnp * 2 <= tb_req and B % (tnp * 2) == 0:
+        tnp *= 2
     scripts, nedits = _pallas_traceback(
-        flags_b, W0c, mn, last_b, mp_rows, srows, np_, cw
+        flags_b, W0c, mn, last_b, mp_rows, srows, tnp, cw
     )
     ne = nedits[:, 0, 0]
     ne8 = jnp.stack(
@@ -856,6 +867,19 @@ def _db_core(Atex, Btex, LB, RB, MNKL, ss_cat, *, go, ge,
 # ---------------------------------------------------------------------------
 # Host driver
 # ---------------------------------------------------------------------------
+
+
+def _pack_cat_rows(dst, X, nrow, rp2):
+    """Pack BYTE2CAT categories of X (ncol, nrow) into dst (rp2, >=ncol)
+    uint8 nibbles: low nibble of packed row p = row p, high nibble =
+    row p + rp2 (so the device unpack is a plain concat, see _cats)."""
+    cat = sc.BYTE2CAT[X].astype(np.uint8).T  # (nrow, ncol)
+    ncol = cat.shape[1]
+    lo = min(nrow, rp2)
+    dst[:lo, :ncol] = cat[:lo]
+    if nrow > rp2:
+        hi = nrow - rp2
+        dst[:hi, :ncol] |= cat[rp2:] << 4
 
 
 def fits_packed(LB, RB, M, N, cw: int = CW) -> bool:
@@ -885,6 +909,11 @@ def pick_cw(LB, RB, M, N) -> int | None:
 
 def _pad8(n: int) -> int:
     return _round_up(max(n, 1), 8)
+
+
+def _pow2_rows(n: int) -> int:
+    """Next power of two (1, 2, 4, 8, ...)."""
+    return 1 << (max(n, 1) - 1).bit_length()
 
 
 def plan_group_width(n: int, ndev: int = 1, cap: int | None = None) -> int:
@@ -935,7 +964,7 @@ def yama_batch_packed(jobs, sp: sc.ScoreParams | None = None):
         ) + M
         tot_cells += cells
         cw = pick_cw(LBa, RBa, M, N)
-        if cw is None:
+        if cw is None or N > 65535:  # band bounds travel as uint16
             fb_jobs += 1
             fb_cells += cells
             results[idx] = yama_numpy(A, B, LBa, RBa, sp=sp)
@@ -1011,24 +1040,27 @@ def yama_batch_packed(jobs, sp: sc.ScoreParams | None = None):
         pm_d = 16
         while pm_d < min(band_d[(m_pad, n_pad, Kp, Lp, cw)], cw):
             pm_d *= 2
-        # one contiguous uint8 payload -> one H2D transfer
+        # one contiguous uint8 payload -> one H2D transfer; texts as
+        # category nibbles (2 rows/byte), bands as uint16
+        Kp2 = -(-Kp // 2)
+        Lp2 = -(-Lp // 2)
         oA = 0
-        oB = oA + nb * m_pad * Kp
-        oLB = oB + nb * n_pad * Lp
-        oRB = oLB + nb * mp1 * 4
-        oS = oRB + nb * mp1 * 4
+        oB = oA + nb * m_pad * Kp2
+        oLB = oB + nb * n_pad * Lp2
+        oRB = oLB + nb * mp1 * 2
+        oS = oRB + nb * mp1 * 2
         buf = np.zeros(oS + nb * 16, np.uint8)
-        Atex = buf[oA:oB].reshape(nb, Kp, m_pad)
-        Btex = buf[oB:oLB].reshape(nb, Lp, n_pad)
-        LBp = buf[oLB:oRB].view(np.int32).reshape(nb, mp1)
-        RBp = buf[oRB:oS].view(np.int32).reshape(nb, mp1)
+        Atex = buf[oA:oB].reshape(nb, Kp2, m_pad)
+        Btex = buf[oB:oLB].reshape(nb, Lp2, n_pad)
+        LBp = buf[oLB:oRB].view(np.uint16).reshape(nb, mp1)
+        RBp = buf[oRB:oS].view(np.uint16).reshape(nb, mp1)
         MNKL = buf[oS:].view(np.int32).reshape(nb, 4)
         for slot, idx in enumerate(run):
             A, B, LB, RB = jobs[idx]
             M, K = A.shape
             N, L = B.shape
-            Atex[slot, :K, :M] = A.T
-            Btex[slot, :L, :N] = B.T
+            _pack_cat_rows(Atex[slot], A, K, Kp2)
+            _pack_cat_rows(Btex[slot], B, L, Lp2)
             LBp[slot, : M + 1] = LB[: M + 1]
             RBp[slot, : M + 1] = RB[: M + 1]
             LBp[slot, M + 1 :] = LB[M]

@@ -256,6 +256,9 @@ def distributed_yama_batch_packed(jobs, mesh=None, sp=None):
         if cw is None:
             results[idx] = yama_numpy(A, B, LBa, RBa, sp=sp)
             continue
+        if N > 65535:
+            results[idx] = yama_numpy(A, B, LBa, RBa, sp=sp)
+            continue
         p = max(_pad_to(M), _pad_to(N))
         key = (p, p, YP._pad8(K), YP._pad8(L), cw)
         buckets.setdefault(key, []).append(idx)
@@ -282,8 +285,10 @@ def distributed_yama_batch_packed(jobs, mesh=None, sp=None):
         # process-major, so P("blocks") rows land on local devices)
         lo = pid * (nb // nproc)
         hi = lo + nb // nproc
-        Atex = np.zeros((hi - lo, Kp, m_pad), np.uint8)
-        Btex = np.zeros((hi - lo, Lp, n_pad), np.uint8)
+        Kp2 = -(-Kp // 2)
+        Lp2 = -(-Lp // 2)
+        Atex = np.zeros((hi - lo, Kp2, m_pad), np.uint8)
+        Btex = np.zeros((hi - lo, Lp2, n_pad), np.uint8)
         LBp = np.zeros((hi - lo, mp1), np.int32)
         RBp = np.zeros((hi - lo, mp1), np.int32)
         MNKL = np.zeros((hi - lo, 4), np.int32)
@@ -292,8 +297,8 @@ def distributed_yama_batch_packed(jobs, mesh=None, sp=None):
             M, K = A.shape
             N, L = B.shape
             s = slot - lo
-            Atex[s, :K, :M] = A.T
-            Btex[s, :L, :N] = B.T
+            YP._pack_cat_rows(Atex[s], A, K, Kp2)
+            YP._pack_cat_rows(Btex[s], B, L, Lp2)
             LBp[s, : M + 1] = LB[: M + 1]
             RBp[s, : M + 1] = RB[: M + 1]
             LBp[s, M + 1 :] = LB[M]

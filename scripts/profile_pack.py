@@ -56,23 +56,25 @@ def main():
         nb = yp._round_up(len(idxs), NPv)
         run = idxs + [idxs[-1]] * (nb - len(idxs))
         mp1 = m_pad + 1
+        Kp2 = -(-Kp // 2)
+        Lp2 = -(-Lp // 2)
         oA = 0
-        oB = oA + nb * m_pad * Kp
-        oLB = oB + nb * n_pad * Lp
-        oRB = oLB + nb * mp1 * 4
-        oS = oRB + nb * mp1 * 4
+        oB = oA + nb * m_pad * Kp2
+        oLB = oB + nb * n_pad * Lp2
+        oRB = oLB + nb * mp1 * 2
+        oS = oRB + nb * mp1 * 2
         buf = np.zeros(oS + nb * 16, np.uint8)
-        Atex = buf[oA:oB].reshape(nb, Kp, m_pad)
-        Btex = buf[oB:oLB].reshape(nb, Lp, n_pad)
-        LBp = buf[oLB:oRB].view(np.int32).reshape(nb, mp1)
-        RBp = buf[oRB:oS].view(np.int32).reshape(nb, mp1)
+        Atex = buf[oA:oB].reshape(nb, Kp2, m_pad)
+        Btex = buf[oB:oLB].reshape(nb, Lp2, n_pad)
+        LBp = buf[oLB:oRB].view(np.uint16).reshape(nb, mp1)
+        RBp = buf[oRB:oS].view(np.uint16).reshape(nb, mp1)
         MNKL = buf[oS:].view(np.int32).reshape(nb, 4)
         for slot, idx in enumerate(run):
             A, B, LB, RB = jobs[idx]
             M, K = A.shape
             N, L = B.shape
-            Atex[slot, :K, :M] = A.T
-            Btex[slot, :L, :N] = B.T
+            yp._pack_cat_rows(Atex[slot], A, K, Kp2)
+            yp._pack_cat_rows(Btex[slot], B, L, Lp2)
             LBp[slot, : M + 1] = LB[: M + 1]
             RBp[slot, : M + 1] = RB[: M + 1]
             LBp[slot, M + 1:] = LB[M]
@@ -89,15 +91,19 @@ def main():
         mp_rows = nchunks * yp.ROW_CHUNK
         npadl = yp._round_up(n_pad + yp.CW + 2, 128)
         G = B // NPV
+        Kp2 = -(-Kp // 2)
+        Lp2 = -(-Lp // 2)
         oA = 0
-        oB = oA + B * m_pad * Kp
-        oLB = oB + B * n_pad * Lp
-        oRB = oLB + B * mp1 * 4
-        oS = oRB + B * mp1 * 4
-        Atex = buf[oA:oB].reshape(B, Kp, m_pad)
-        Btex = buf[oB:oLB].reshape(B, Lp, n_pad)
-        LB = jax.lax.bitcast_convert_type(buf[oLB:oRB].reshape(B, mp1, 4), jnp.int32)
-        RB = jax.lax.bitcast_convert_type(buf[oRB:oS].reshape(B, mp1, 4), jnp.int32)
+        oB = oA + B * m_pad * Kp2
+        oLB = oB + B * n_pad * Lp2
+        oRB = oLB + B * mp1 * 2
+        oS = oRB + B * mp1 * 2
+        Atex = buf[oA:oB].reshape(B, Kp2, m_pad)
+        Btex = buf[oB:oLB].reshape(B, Lp2, n_pad)
+        LB = jax.lax.bitcast_convert_type(
+            buf[oLB:oRB].reshape(B, mp1, 2), jnp.uint16).astype(jnp.int32)
+        RB = jax.lax.bitcast_convert_type(
+            buf[oRB:oS].reshape(B, mp1, 2), jnp.uint16).astype(jnp.int32)
         MNKL = jax.lax.bitcast_convert_type(buf[oS:oS + B * 16].reshape(B, 4, 4), jnp.int32)
         M, N, K, L = MNKL[:, 0], MNKL[:, 1], MNKL[:, 2], MNKL[:, 3]
         prep = jax.vmap(lambda at, btx, lb, rb, m, n, k, l: yp._prep_one(
