@@ -30,7 +30,9 @@ C_BASELINE_CELLS_PER_SEC = 11_468_556.0  # ref C -O2, this host
 
 N_PROBLEMS = 1024
 SEED = 42
-ITERS = 3
+# best-of-5: the axon tunnel adds +-15% run-to-run noise to the
+# device-sync phase; extra iterations cost ~0.5s each
+ITERS = 5
 
 # Per-phase watchdog (VERDICT r3 weak #8): a wedged compile must still
 # produce a parseable JSON diagnostic instead of the driver's rc=124.

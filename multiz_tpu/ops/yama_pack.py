@@ -839,9 +839,12 @@ def _db_core(Atex, Btex, LB, RB, MNKL, ss_cat, *, go, ge,
     mn = jnp.stack([M, N], axis=-1).astype(jnp.int32)[:, None, :]
     srows = -(-(m_pad + n_pad + 1) // 128)
     # traceback walks per grid step: more interleaved walks hide more
-    # per-step load latency; independent of the DP group width
+    # per-step load latency (measured on-chip: 32 -> 66.3M cells/s
+    # end-to-end, 64 -> 83.4M, 128 -> 61.0M: beyond 64 the unrolled
+    # per-step load chain outgrows the latency it hides). Independent
+    # of the DP group width.
     tnp = np_
-    tb_req = int(_os.environ.get("MZ_TB_TNP", "0"))
+    tb_req = int(_os.environ.get("MZ_TB_TNP", "64"))
     while tnp * 2 <= tb_req and B % (tnp * 2) == 0:
         tnp *= 2
     scripts, nedits = _pallas_traceback(
