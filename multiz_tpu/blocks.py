@@ -164,7 +164,10 @@ def part_ali_by_pos(a: Ali, beg: int, end: int,
 
 def keep_ali(a: Ali, beg: int, sp: sc.ScoreParams | None = None) -> Ali:
     """Truncate a block to start at top-row position beg
-    (multi_util.c:468-511), in place."""
+    (multi_util.c:468-511). Returns a NEW Ali; the input block and its
+    comps are left intact — deferred DP coroutines hold references to
+    scan-time blocks, and this non-mutating contract is what lets them
+    skip per-overlap snapshot copies (preyama.pre_yama_gen)."""
     top = a.comps[0]
     col_beg = pos2col(top, beg)
     t = top.text
@@ -175,13 +178,15 @@ def keep_ali(a: Ali, beg: int, sp: sc.ScoreParams | None = None) -> Ali:
         count = int(np.count_nonzero(c.text[:col_beg] != DASH))
         if c.size - count < 1:
             continue
-        c.start += count
-        c.size -= count
-        c.text = c.text[col_beg:].copy()
-        new_comps.append(c)
-    a.comps = new_comps
-    a.score = sc.score_range(a, 0, a.text_size, sp=sp) if new_comps else None
-    return a
+        nc = c.copy(text=c.text[col_beg:].copy())
+        nc.start += count
+        nc.size -= count
+        new_comps.append(nc)
+    out = Ali(comps=new_comps)
+    out.score = (
+        sc.score_range(out, 0, out.text_size, sp=sp) if new_comps else None
+    )
+    return out
 
 
 def sort_by_top_start(alis: List[Ali]) -> List[Ali]:

@@ -88,9 +88,16 @@ class Comp:
 
         Replaces the O(textSize) scans of mafPos2Col (multi_util.c:633-645)
         with one vectorized cumsum (the ``mafPosMap`` the C declares but
-        never fills, maf.h:50).
+        never fills, maf.h:50). Cached per text OBJECT: text buffers are
+        replaced, never mutated in place (the invariant pre_yama_gen's
+        snapshot also relies on), so identity is a sound cache key.
         """
-        return np.cumsum(self.text != DASH)
+        cached = getattr(self, "_pm", None)
+        if cached is not None and cached[0] is self.text:
+            return cached[1]
+        pm = np.cumsum(self.text != DASH)
+        self._pm = (self.text, pm)
+        return pm
 
 
 @dataclass

@@ -195,6 +195,51 @@ bad:
     return nullptr;
 }
 
+// score_range(T, n, W, start, size, ss, gop) -> int64
+//   Sum-of-pairs score of columns [start, start+size) of n stacked text
+//   rows (mafScoreRange, mz_scores.c:124-152), incl. the reference's
+//   quirk that the gap term for column i reaches back to absolute
+//   column i-1 even when i == start > 0.
+//   T: uint8 (n, W) C-contiguous; ss: int32 (128,128); gop: int32 (16,)
+PyObject* score_range(PyObject*, PyObject* args) {
+    PyObject *to, *sso, *gopo;
+    Py_ssize_t n, W, start, size;
+    if (!PyArg_ParseTuple(args, "OnnnnOO", &to, &n, &W, &start, &size,
+                          &sso, &gopo))
+        return nullptr;
+    Buf T(to, PyBUF_SIMPLE), SS(sso, PyBUF_SIMPLE), GOP(gopo, PyBUF_SIMPLE);
+    if (!T.ok || !SS.ok || !GOP.ok) return nullptr;
+    if (T.len() < n * W || start < 0 || size <= 0 || start + size > W ||
+        SS.len() < (Py_ssize_t)(128 * 128 * sizeof(int32_t)) ||
+        GOP.len() < (Py_ssize_t)(16 * sizeof(int32_t))) {
+        PyErr_SetString(PyExc_ValueError, "score_range: bad args");
+        return nullptr;
+    }
+    const uint8_t* t = T.u8();
+    const int32_t* ss = SS.i32();
+    const int32_t* gop = GOP.i32();
+    const Py_ssize_t lo = start > 1 ? start : 1;
+    const Py_ssize_t hi = start + size;
+    int64_t total = 0;
+    PyThreadState* _save = PyEval_SaveThread();
+    for (Py_ssize_t i = 0; i < n; ++i) {
+        const uint8_t* a = t + i * W;
+        for (Py_ssize_t j = i + 1; j < n; ++j) {
+            const uint8_t* b = t + j * W;
+            for (Py_ssize_t c = start; c < hi; ++c)
+                total += ss[a[c] * 128 + b[c]];
+            for (Py_ssize_t c = lo; c < hi; ++c) {
+                int idx = ((a[c - 1] == DASH) << 3) |
+                          ((b[c - 1] == DASH) << 2) |
+                          ((a[c] == DASH) << 1) | (b[c] == DASH);
+                total -= gop[idx];
+            }
+        }
+    }
+    PyEval_RestoreThread(_save);
+    return PyLong_FromLongLong((long long)total);
+}
+
 // yama_into(A, M, K, B, N, L, LB, RB, ss_cat, cat, go, ge, out) -> nedit
 //   Full banded DP + traceback + replay on host: the same integer
 //   recurrence as multiz_tpu/yama.py yama_numpy (per-column statistics
@@ -234,10 +279,23 @@ PyObject* yama_into(PyObject*, PyObject* args) {
     // tback_size = sum over rows of RB-LB+1 (mz_yama.c:60-77): a 50kb x
     // 50kb R=30 problem needs ~3MB, not (M+1)*(N+1) = 2.5GB. Size checks
     // (and any PyErr) happen BEFORE the GIL is released.
+    // Full entry sanity checks of yama (mz_yama.c:58-71), so the Python
+    // caller can skip its own pass when dispatching here.
+    if (LB[0] != 0 || RB[M] != N) {
+        PyErr_SetString(PyExc_ValueError,
+                        "LB and RB not terminated properly");
+        return nullptr;
+    }
+    const int64_t minw = N < 10 ? N : 10;
     int64_t tb_cells = 0;
     for (Py_ssize_t r = 0; r <= M; ++r) {
-        if (RB[r] < LB[r] || LB[r] < 0 || RB[r] > N) {
+        if (RB[r] < LB[r] || LB[r] < 0 || RB[r] > N ||
+            RB[r] - LB[r] < minw) {
             PyErr_SetString(PyExc_ValueError, "yama_into: bad band");
+            return nullptr;
+        }
+        if (r > 0 && (LB[r] < LB[r - 1] || RB[r] < RB[r - 1])) {
+            PyErr_SetString(PyExc_ValueError, "yama_into: band not monotonic");
             return nullptr;
         }
         tb_cells += RB[r] - LB[r] + 1;
@@ -476,6 +534,8 @@ PyMethodDef methods[] = {
      "per-column stats into pre-allocated int32 buffers"},
     {"yama_into", yama_into, METH_VARARGS,
      "full banded DP + traceback + replay; returns nedit"},
+    {"score_range", score_range, METH_VARARGS,
+     "sum-of-pairs mafScoreRange over stacked text rows"},
     {"traceback_into", traceback_into, METH_VARARGS,
      "edit-script extraction (newest-first); returns nedit"},
     {"replay_into", replay_into, METH_VARARGS,

@@ -783,12 +783,18 @@ def _device_batch(buf, ss_cat, go, ge, m_pad, n_pad, Kp, Lp, B,
     oS = oRB + B * mp1 * 2
     Atex = buf[oA:oB].reshape(B, Kp2, m_pad)
     Btex = buf[oB:oLB].reshape(B, Lp2, n_pad)
-    LB = jax.lax.bitcast_convert_type(
-        buf[oLB:oRB].reshape(B, mp1, 2), jnp.uint16
-    ).astype(jnp.int32)
-    RB = jax.lax.bitcast_convert_type(
-        buf[oRB:oS].reshape(B, mp1, 2), jnp.uint16
-    ).astype(jnp.int32)
+
+    def bands16(seg):
+        # lo/hi byte PLANES, not interleaved pairs: a (B, mp1, 2)
+        # bitcast pads its minor dim to 128 lanes on TPU (128x HLO-temp
+        # blowup, OOM on large buckets); two (B, mp1) planes combine
+        # elementwise for free
+        lo = seg[: B * mp1].reshape(B, mp1).astype(jnp.int32)
+        hi = seg[B * mp1 :].reshape(B, mp1).astype(jnp.int32)
+        return lo | (hi << 8)
+
+    LB = bands16(buf[oLB:oRB])
+    RB = bands16(buf[oRB:oS])
     MNKL = jax.lax.bitcast_convert_type(
         buf[oS : oS + B * 16].reshape(B, 4, 4), jnp.int32
     )
@@ -1029,6 +1035,13 @@ def yama_batch_packed(jobs, sp: sc.ScoreParams | None = None):
 
         _tp0 = _t.perf_counter()
         _pack_s = _disp_s = 0.0
+    # Per-launch job cap: the DP flag matrix costs mp_rows*cw*4 bytes
+    # per job in HBM between the DP and traceback kernels; unbounded
+    # buckets (chromosome-scale merges plan tens of thousands of DPs)
+    # must split into launches that fit.
+    flag_budget = int(
+        _os.environ.get("MZ_LAUNCH_FLAG_BYTES", str(1_200_000_000))
+    )
     pending = []
     for (m_pad, n_pad, Kp, Lp, cw), idxs in buckets.items():
         # wide windows cost ~cw/256 x the VMEM and vector work per
@@ -1036,51 +1049,65 @@ def yama_batch_packed(jobs, sp: sc.ScoreParams | None = None):
         np_ = plan_group_width(
             len(idxs), cap=max(8, _np_active() // (cw // 256))
         )
-        nb = _round_up(len(idxs), np_)
-        run = idxs + [idxs[-1]] * (nb - len(idxs))
         mp1 = m_pad + 1
+        mp_rows = -(-mp1 // ROW_CHUNK) * ROW_CHUNK
+        bcap = max(
+            np_,
+            (flag_budget // (mp_rows * cw * 4)) // np_ * np_,
+        )
         # static prefix-max depth, pow2-rounded to bound compile variants
         pm_d = 16
         while pm_d < min(band_d[(m_pad, n_pad, Kp, Lp, cw)], cw):
             pm_d *= 2
-        # one contiguous uint8 payload -> one H2D transfer; texts as
-        # category nibbles (2 rows/byte), bands as uint16
         Kp2 = -(-Kp // 2)
         Lp2 = -(-Lp // 2)
-        oA = 0
-        oB = oA + nb * m_pad * Kp2
-        oLB = oB + nb * n_pad * Lp2
-        oRB = oLB + nb * mp1 * 2
-        oS = oRB + nb * mp1 * 2
-        buf = np.zeros(oS + nb * 16, np.uint8)
-        Atex = buf[oA:oB].reshape(nb, Kp2, m_pad)
-        Btex = buf[oB:oLB].reshape(nb, Lp2, n_pad)
-        LBp = buf[oLB:oRB].view(np.uint16).reshape(nb, mp1)
-        RBp = buf[oRB:oS].view(np.uint16).reshape(nb, mp1)
-        MNKL = buf[oS:].view(np.int32).reshape(nb, 4)
-        for slot, idx in enumerate(run):
-            A, B, LB, RB = jobs[idx]
-            M, K = A.shape
-            N, L = B.shape
-            _pack_cat_rows(Atex[slot], A, K, Kp2)
-            _pack_cat_rows(Btex[slot], B, L, Lp2)
-            LBp[slot, : M + 1] = LB[: M + 1]
-            RBp[slot, : M + 1] = RB[: M + 1]
-            LBp[slot, M + 1 :] = LB[M]
-            RBp[slot, M + 1 :] = RB[M]
-            MNKL[slot] = (M, N, K, L)
-        if timing:
-            _tp1 = _t.perf_counter()
-            _pack_s += _tp1 - _tp0
-        out = _device_batch(
-            jnp.asarray(buf), ss_cat, go=go, ge=ge,
-            m_pad=m_pad, n_pad=n_pad, Kp=Kp, Lp=Lp, B=nb,
-            np_=np_, pm_d=pm_d, cw=cw,
-        )
-        pending.append((idxs, out))
-        if timing:
-            _tp0 = _t.perf_counter()
-            _disp_s += _tp0 - _tp1
+        for lo_ in range(0, len(idxs), bcap):
+            part = idxs[lo_ : lo_ + bcap]
+            nb = _round_up(len(part), np_)
+            run = part + [part[-1]] * (nb - len(part))
+            # one contiguous uint8 payload -> one H2D transfer; texts
+            # as category nibbles (2 rows/byte), bands as uint16 lo/hi
+            # byte planes (a (nb, mp1, 2) device bitcast pads its minor
+            # dim 128x — planes combine elementwise for free)
+            oA = 0
+            oB = oA + nb * m_pad * Kp2
+            oLB = oB + nb * n_pad * Lp2
+            oRB = oLB + nb * mp1 * 2
+            oS = oRB + nb * mp1 * 2
+            buf = np.zeros(oS + nb * 16, np.uint8)
+            Atex = buf[oA:oB].reshape(nb, Kp2, m_pad)
+            Btex = buf[oB:oLB].reshape(nb, Lp2, n_pad)
+            LBs = np.zeros((nb, mp1), np.uint16)
+            RBs = np.zeros((nb, mp1), np.uint16)
+            MNKL = buf[oS:].view(np.int32).reshape(nb, 4)
+            for slot, idx in enumerate(run):
+                A, B, LB, RB = jobs[idx]
+                M, K = A.shape
+                N, L = B.shape
+                _pack_cat_rows(Atex[slot], A, K, Kp2)
+                _pack_cat_rows(Btex[slot], B, L, Lp2)
+                LBs[slot, : M + 1] = LB[: M + 1]
+                RBs[slot, : M + 1] = RB[: M + 1]
+                LBs[slot, M + 1 :] = LB[M]
+                RBs[slot, M + 1 :] = RB[M]
+                MNKL[slot] = (M, N, K, L)
+            nbm = nb * mp1
+            buf[oLB : oLB + nbm] = (LBs & 0xFF).astype(np.uint8).reshape(-1)
+            buf[oLB + nbm : oRB] = (LBs >> 8).astype(np.uint8).reshape(-1)
+            buf[oRB : oRB + nbm] = (RBs & 0xFF).astype(np.uint8).reshape(-1)
+            buf[oRB + nbm : oS] = (RBs >> 8).astype(np.uint8).reshape(-1)
+            if timing:
+                _tp1 = _t.perf_counter()
+                _pack_s += _tp1 - _tp0
+            out = _device_batch(
+                jnp.asarray(buf), ss_cat, go=go, ge=ge,
+                m_pad=m_pad, n_pad=n_pad, Kp=Kp, Lp=Lp, B=nb,
+                np_=np_, pm_d=pm_d, cw=cw,
+            )
+            pending.append((part, out))
+            if timing:
+                _tp0 = _t.perf_counter()
+                _disp_s += _tp0 - _tp1
 
     # Phase 2: ONE D2H for all buckets — the tunnel charges tens of ms
     # of latency per transfer, so the per-bucket payloads are
@@ -1095,13 +1122,20 @@ def yama_batch_packed(jobs, sp: sc.ScoreParams | None = None):
             jax.block_until_ready(out)
         t1 = _t.perf_counter()
     if len(pending) > 1:
-        cat = _fetch_concat(*[out for _, out in pending])
-        flat = np.asarray(cat)  # the single D2H
-        outs_np, off = [], 0
-        for _, out in pending:
-            n = int(np.prod(out.shape))
-            outs_np.append(flat[off : off + n].reshape(out.shape))
-            off += n
+        # concat in groups of <= 8: one jit variant per arity, and
+        # chromosome-scale runs can have dozens of launches
+        outs_np = []
+        for i in range(0, len(pending), 8):
+            grp = [out for _, out in pending[i : i + 8]]
+            if len(grp) == 1:
+                outs_np.append(np.asarray(grp[0]))
+                continue
+            flat = np.asarray(_fetch_concat(*grp))
+            off = 0
+            for out in grp:
+                n = int(np.prod(out.shape))
+                outs_np.append(flat[off : off + n].reshape(out.shape))
+                off += n
     else:
         outs_np = [np.asarray(out) for _, out in pending]
     if timing:

@@ -144,7 +144,8 @@ def pre_yama(
     """pre_yama (mz_preyama.c:152-359): drive :func:`pre_yama_gen` with a
     synchronous per-problem DP function."""
     gen = pre_yama_gen(
-        a1, a2, beg, end, radius, v, unused2_sink=unused2_sink, sp=sp
+        a1, a2, beg, end, radius, v, unused2_sink=unused2_sink, sp=sp,
+        snapshot=False,  # driven to completion before the scan resumes
     )
     try:
         job = next(gen)
@@ -163,6 +164,7 @@ def pre_yama_gen(
     v: int,
     unused2_sink=None,
     sp: sc.ScoreParams | None = None,
+    snapshot: bool = False,
 ):
     """Coroutine form of pre_yama: yields (A, B, LB, RB) DP jobs and
     receives merged column matrices back via ``send``; returns the final
@@ -177,12 +179,18 @@ def pre_yama_gen(
 
     ``unused2_sink(ali)`` receives a2's slice when a1 contributes no rows
     (K == 0, mz_preyama.c:193-200)."""
-    # Snapshot both blocks: when driven deferred, the merge scan resumes
-    # this coroutine AFTER keep_ali (multi_util.c:468-511) has truncated
-    # a1/a2 in place. Comp text buffers are never mutated in place
-    # (keep_ali replaces them), so sharing them is safe.
-    a1 = Ali(comps=[c.copy(text=c.text) for c in a1.comps], score=a1.score)
-    a2 = Ali(comps=[c.copy(text=c.text) for c in a2.comps], score=a2.score)
+    # When driven deferred, the merge scan resumes this coroutine after
+    # it has moved past a1/a2 — safe without copies because keep_ali is
+    # non-mutating (returns a fresh Ali) and Comp text buffers are
+    # replaced, never mutated in place. ``snapshot=True`` restores the
+    # defensive per-overlap copies for callers without that guarantee.
+    if snapshot:
+        a1 = Ali(
+            comps=[c.copy(text=c.text) for c in a1.comps], score=a1.score
+        )
+        a2 = Ali(
+            comps=[c.copy(text=c.text) for c in a2.comps], score=a2.score
+        )
     K = len(a1.comps)
     L = len(a2.comps) - 1
 
@@ -194,10 +202,16 @@ def pre_yama_gen(
     M = cend1 - cbeg1 + 1
     N = cend2 - cbeg2 + 1
 
-    # column-major slices
-    B_full = np.stack(
-        [c.text[cbeg2 : cend2 + 1] for c in a2.comps[1:]], axis=1
-    )  # (N, L)
+    # column-major slices. L == 0 (a2 is a single-row block, e.g. a
+    # pair2tb gap filler): the (N, 0) columns are vacuously all-dash,
+    # rmColDash drops every one and pre_yama returns NULL
+    # (mz_preyama.c:94-98 with row==0 never breaking, :183-188)
+    if L > 0:
+        B_full = np.stack(
+            [c.text[cbeg2 : cend2 + 1] for c in a2.comps[1:]], axis=1
+        )  # (N, L)
+    else:
+        B_full = np.empty((N, 0), dtype=np.uint8)
     N_cp = N
     B, map2 = rm_col_dash(B_full)
     N = B.shape[0]

@@ -14,6 +14,14 @@ from dataclasses import dataclass
 
 import numpy as np
 
+try:  # native sum-of-pairs scorer (see native/mzcore.cpp score_range)
+    from .native import load as _load_native
+
+    _nat = _load_native()
+    _mzcore_score = getattr(_nat, "score_range", None) if _nat else None
+except Exception:
+    _mzcore_score = None
+
 DASH = ord("-")
 
 # HOX70 (human-rodent default) and HOX85 (mouse-rat), mz_scores.c:9-29.
@@ -146,6 +154,14 @@ def score_range_texts(
     if start < 0 or size <= 0 or start + size > text_size:
         raise ValueError(
             f"score_range: start={start}, size={size}, textSize={text_size}"
+        )
+    if _mzcore_score is not None and n >= 2:
+        T = np.stack(rows, axis=0)
+        return float(
+            _mzcore_score(
+                np.ascontiguousarray(T), n, text_size, start, size,
+                np.ascontiguousarray(sp.ss), np.ascontiguousarray(sp.gop),
+            )
         )
     lo = max(start, 1)  # gap terms exist only for absolute column i > 0
     hi = start + size

@@ -147,9 +147,10 @@ def yama_numpy(
     N, L = B.shape
     LB = np.asarray(LB, dtype=np.int64)
     RB = np.asarray(RB, dtype=np.int64)
-    _check_band(LB, RB, M, N)
 
     if _mzcore is not None and hasattr(_mzcore, "yama_into") and M >= 1:
+        # band validation happens inside yama_into (same checks as
+        # _check_band, mz_yama.c:58-71) — no second pass here
         out = np.empty((M + N, K + L), dtype=np.uint8)
         try:
             nedit = _mzcore.yama_into(
@@ -166,6 +167,7 @@ def yama_numpy(
         except ValueError as e:
             raise YamaError(str(e))
 
+    _check_band(LB, RB, M, N)
     go = int(sp.gap_open)
     ge = int(sp.gap_extend)
 

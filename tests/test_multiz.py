@@ -65,3 +65,43 @@ def test_multiz_separate_outputs(tmp_path):
     assert strip_argline(got) == strip_argline(want)
     assert read(u1) == read(os.path.join(EXPECT, "multiz_v1_u1.maf"))
     assert read(u2) == read(os.path.join(EXPECT, "multiz_v1_u2.maf"))
+
+
+def test_single_row_a2_overlap():
+    """pre_yama with a single-row a2 (L=0, e.g. a pair2tb gap filler):
+    the (N, 0) columns are vacuously all-dash, so the DP is skipped and
+    the merge emits nothing for the overlap — verified byte-equal to
+    the reference binary (mz_preyama.c:94-98 with row==0, :183-188).
+    Regression: r4's 20Mb 2-chromosome run crashed on np.stack([])."""
+    import io
+
+    from multiz_tpu.cli import multiz as cli
+
+    m1 = (
+        "##maf version=1 scoring=blastz\n"
+        "a score=100.0\n"
+        "s human.chr1 10 20 + 1000 ACGTACGTACGTACGTACGT\n"
+        "s chimp.chr1 5 20 + 900 ACGTACGTACGTACGTACGT\n\n"
+    )
+    m2 = (
+        "##maf version=1 scoring=blastz\n"
+        "a score=0.0\n"
+        "s human.chr1 15 10 + 1000 GTACGTACGT\n\n"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p1 = os.path.join(d, "a.maf")
+        p2 = os.path.join(d, "b.maf")
+        open(p1, "w").write(m1)
+        open(p2, "w").write(m2)
+        out = io.StringIO()
+        rc = cli.main([p1, p2, "1"], out=out)
+    assert rc in (0, None)
+    body = [
+        l for l in out.getvalue().splitlines()
+        if l and not l.startswith("#")
+    ]
+    # reference output: both blocks pass through unmerged (a score=100
+    # block first, then the overlap-stripped single-row pieces)
+    assert any("chimp.chr1" in l for l in body)
