@@ -94,7 +94,7 @@ def maf_slice(a: Ali, start_col: int, beyond_col: int) -> Ali:
     out = Ali(score=a.score)
     for c in a.comps:
         nc = c.copy(text=c.text[start_col:beyond_col].copy())
-        nc.start = c.start + int(np.count_nonzero(c.text[:start_col] != DASH))
+        nc.start = c.start + c.nondash_before(start_col)
         nc.size = int(np.count_nonzero(nc.text != DASH))
         out.comps.append(nc)
     return out
@@ -123,7 +123,7 @@ def make_part_ali_col(a: Ali, cbeg: int, cend: int,
         if chs == 0:
             continue
         nc = c.copy(text=text.copy())
-        nc.start = c.start + int(np.count_nonzero(c.text[:cbeg] != DASH))
+        nc.start = c.start + c.nondash_before(cbeg)
         nc.size = chs
         out.comps.append(nc)
     if not out.comps:
@@ -154,7 +154,7 @@ def part_ali_by_pos(a: Ali, beg: int, end: int,
         if chs == 0:
             continue
         nc = c.copy(text=text.copy())
-        nc.start = c.start + int(np.count_nonzero(c.text[:col_beg] != DASH))
+        nc.start = c.start + c.nondash_before(col_beg)
         nc.size = chs
         out.comps.append(nc)
     if not out.comps:
@@ -175,7 +175,7 @@ def keep_ali(a: Ali, beg: int, sp: sc.ScoreParams | None = None) -> Ali:
         col_beg -= 1
     new_comps = []
     for c in a.comps:
-        count = int(np.count_nonzero(c.text[:col_beg] != DASH))
+        count = c.nondash_before(col_beg)
         if c.size - count < 1:
             continue
         nc = c.copy(text=c.text[col_beg:].copy())

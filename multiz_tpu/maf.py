@@ -83,6 +83,10 @@ class Comp:
             paralog=self.paralog,
         )
 
+    def nondash_before(self, col: int) -> int:
+        """#non-dash chars in text[:col] (O(1) via the cached pos_map)."""
+        return 0 if col <= 0 else int(self.pos_map()[col - 1])
+
     def pos_map(self) -> np.ndarray:
         """cumulative non-dash count; pos_map[col] = #non-dash in text[:col+1].
 

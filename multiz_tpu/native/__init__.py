@@ -37,7 +37,7 @@ def build(force: bool = False) -> str | None:
         return so
     include = sysconfig.get_paths()["include"]
     cmd = [
-        "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+        "g++", "-O3", "-funroll-loops", "-shared", "-fPIC", "-std=c++17",
         f"-I{include}", _SRC, "-o", so,
     ]
     try:

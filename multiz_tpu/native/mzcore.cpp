@@ -240,6 +240,74 @@ PyObject* score_range(PyObject*, PyObject* args) {
     return PyLong_FromLongLong((long long)total);
 }
 
+// band_info(LB, RB, M, N, row_chunk, cws) -> (cw, maxwidth, cells)
+//   One pass over a job's band: entry validation (mz_yama.c:58-71),
+//   window-ladder selection (yama_pack.fits_packed/pick_cw) and band
+//   cell counting — replaces three numpy passes per job in the batched
+//   dispatch admission loop. LB/RB int64 (>= M+1); cws: int64 ladder.
+//   cw == 0 means no ladder width fits (host fallback).
+PyObject* band_info(PyObject*, PyObject* args) {
+    PyObject *lbo, *rbo, *cwso;
+    Py_ssize_t M, N, RC;
+    if (!PyArg_ParseTuple(args, "OOnnnO", &lbo, &rbo, &M, &N, &RC, &cwso))
+        return nullptr;
+    Buf LBb(lbo, PyBUF_SIMPLE), RBb(rbo, PyBUF_SIMPLE),
+        CWS(cwso, PyBUF_SIMPLE);
+    if (!LBb.ok || !RBb.ok || !CWS.ok) return nullptr;
+    if (LBb.len() < (Py_ssize_t)((M + 1) * sizeof(int64_t)) ||
+        RBb.len() < (Py_ssize_t)((M + 1) * sizeof(int64_t)) || RC < 1) {
+        PyErr_SetString(PyExc_ValueError, "band_info: bad buffers");
+        return nullptr;
+    }
+    const int64_t* LB = reinterpret_cast<const int64_t*>(LBb.u8());
+    const int64_t* RB = reinterpret_cast<const int64_t*>(RBb.u8());
+    const int64_t* cws = reinterpret_cast<const int64_t*>(CWS.u8());
+    const Py_ssize_t ncw = CWS.len() / (Py_ssize_t)sizeof(int64_t);
+
+    if (LB[0] != 0 || RB[M] != N) {
+        PyErr_Format(PyExc_ValueError,
+                     "LB and RB not terminated properly: %lld %lld %lld",
+                     (long long)LB[0], (long long)RB[M], (long long)N);
+        return nullptr;
+    }
+    const int64_t minw = N < 10 ? N : 10;
+    int64_t width = 0, cells = 0, need = 0;
+    // per-chunk window need: RB_max(chunk) + 1 - 128*floor(LB[r0]/128)
+    for (Py_ssize_t t = 0, r = 0; r <= M; t++) {
+        Py_ssize_t r0 = t * RC;
+        if (r0 < 1) r0 = 1;
+        if (r0 > M) r0 = M;
+        int64_t w0 = (LB[r0] / 128) * 128;
+        Py_ssize_t hi = t * RC + RC - 1;
+        if (hi > M) hi = M;
+        for (; r <= hi; ++r) {
+            int64_t w = RB[r] - LB[r];
+            if (w < minw) {
+                PyErr_Format(PyExc_ValueError, "RB[%zd] - LB[%zd] < %lld",
+                             r, r, (long long)minw);
+                return nullptr;
+            }
+            if (r > 0 && (LB[r] < LB[r - 1] || RB[r] < RB[r - 1])) {
+                PyErr_SetString(PyExc_ValueError, "band not monotonic");
+                return nullptr;
+            }
+            if (w > width) width = w;
+            int64_t rb = RB[r] < N ? RB[r] : N;
+            cells += rb - LB[r];
+            if (r >= 1) {  // fits_packed skips chunks with lo > hi
+                int64_t nd = RB[r] + 1 - w0;
+                if (nd > need) need = nd;
+            }
+        }
+    }
+    cells += M;
+    int64_t cw = 0;
+    for (Py_ssize_t i = 0; i < ncw; ++i)
+        if (need <= cws[i] - 1) { cw = cws[i]; break; }
+    return Py_BuildValue("(LLL)", (long long)cw, (long long)width,
+                         (long long)cells);
+}
+
 // yama_into(A, M, K, B, N, L, LB, RB, ss_cat, cat, go, ge, out) -> nedit
 //   Full banded DP + traceback + replay on host: the same integer
 //   recurrence as multiz_tpu/yama.py yama_numpy (per-column statistics
@@ -536,6 +604,8 @@ PyMethodDef methods[] = {
      "full banded DP + traceback + replay; returns nedit"},
     {"score_range", score_range, METH_VARARGS,
      "sum-of-pairs mafScoreRange over stacked text rows"},
+    {"band_info", band_info, METH_VARARGS,
+     "band validation + window ladder pick + cell count in one pass"},
     {"traceback_into", traceback_into, METH_VARARGS,
      "edit-script extraction (newest-first); returns nedit"},
     {"replay_into", replay_into, METH_VARARGS,

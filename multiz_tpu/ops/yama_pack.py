@@ -961,18 +961,35 @@ def yama_batch_packed(jobs, sp: sc.ScoreParams | None = None):
     buckets = {}
     band_d = {}  # bucket key -> max band width (prefix-max depth)
     results = [None] * len(jobs)
+    job_cells = {}
     fb_jobs = fb_cells = tot_cells = 0  # wide-band fallback accounting
+    _binfo = getattr(_mzcore, "band_info", None) if _mzcore else None
+    _cws = np.asarray(CWS, dtype=np.int64)
     for idx, (A, B, LB, RB) in enumerate(jobs):
         M, K = A.shape
         N, L = B.shape
         LBa = np.asarray(LB, dtype=np.int64)
         RBa = np.asarray(RB, dtype=np.int64)
-        _check_band(LBa, RBa, M, N)
-        cells = int(
-            (np.minimum(RBa[: M + 1], N) - LBa[: M + 1]).sum()
-        ) + M
+        if _binfo is not None:
+            # one native pass: validation + window ladder + cell count
+            try:
+                cw, w, cells = _binfo(
+                    np.ascontiguousarray(LBa[: M + 1]),
+                    np.ascontiguousarray(RBa[: M + 1]),
+                    M, N, ROW_CHUNK, _cws,
+                )
+            except ValueError as e:
+                raise YamaError(str(e))
+            cw = cw or None
+        else:
+            _check_band(LBa, RBa, M, N)
+            cells = int(
+                (np.minimum(RBa[: M + 1], N) - LBa[: M + 1]).sum()
+            ) + M
+            cw = pick_cw(LBa, RBa, M, N)
+            w = int((RBa[: M + 1] - LBa[: M + 1]).max())
         tot_cells += cells
-        cw = pick_cw(LBa, RBa, M, N)
+        job_cells[idx] = cells
         if cw is None or N > 65535:  # band bounds travel as uint16
             fb_jobs += 1
             fb_cells += cells
@@ -984,7 +1001,6 @@ def yama_batch_packed(jobs, sp: sc.ScoreParams | None = None):
         p = max(_pad_to(M), _pad_to(N))
         key = (p, p, _pad8(K), _pad8(L), cw)
         buckets.setdefault(key, []).append(idx)
-        w = int((RBa[: M + 1] - LBa[: M + 1]).max())
         band_d[key] = max(band_d.get(key, 1), w)
     if fb_jobs and _os.environ.get("MZ_COUNT_FALLBACK"):
         print(
@@ -1008,17 +1024,7 @@ def yama_batch_packed(jobs, sp: sc.ScoreParams | None = None):
     small = []
     for key in list(buckets.keys()):
         idxs = buckets[key]
-        cells = sum(
-            int(
-                np.minimum(
-                    np.asarray(jobs[i][3])[: jobs[i][0].shape[0] + 1],
-                    jobs[i][1].shape[0],
-                ).sum()
-                - np.asarray(jobs[i][2])[: jobs[i][0].shape[0] + 1].sum()
-            )
-            + jobs[i][0].shape[0]
-            for i in idxs
-        )
+        cells = sum(job_cells[i] for i in idxs)
         if cells < host_route:
             small.extend(idxs)
             del buckets[key]

@@ -114,14 +114,17 @@ def maf_build(
     extra = a3.comps[1:] if top == 0 else a3.comps
     templates += [(c, cbeg3) for c in extra]
     out = Ali()
+    # one contiguous transpose + one vectorized size pass instead of a
+    # strided column copy + count per row
+    AT = np.ascontiguousarray(A_new.T)  # (nrow, ncol)
+    sizes = (AT != DASH).sum(axis=1)
     for i in range(nrow):
-        d, beg = templates[i]
-        text = A_new[:, i].copy()
-        size = int(np.count_nonzero(text != DASH))
+        size = int(sizes[i])
         if size == 0:
             continue
-        nc = d.copy(text=text)
-        nc.start = d.start + int(np.count_nonzero(d.text[:beg] != DASH))
+        d, beg = templates[i]
+        nc = d.copy(text=AT[i])
+        nc.start = d.start + d.nondash_before(beg)
         nc.size = size
         out.comps.append(nc)
     if not out.comps:
