@@ -13,7 +13,7 @@ from typing import List, Optional
 import numpy as np
 
 from . import scores as sc
-from .maf import Ali, Comp, DASH, pos2col
+from .maf import Ali, Comp, DASH, col_back_over_dashes, pos2col
 
 # DNA complement table, byte-for-byte from multi_util.c:34-41 (note: '-' maps
 # to '-', unmapped characters map to ' ').
@@ -74,7 +74,7 @@ def col_dash_rm(a: Optional[Ali]) -> Optional[Ali]:
     keep = (texts != DASH).any(axis=0)
     if not keep.all():
         for c in a.comps:
-            c.text = c.text[keep].copy()
+            c.text = c.text[keep]  # fancy indexing: already a fresh array
     return a
 
 
@@ -93,7 +93,7 @@ def maf_slice(a: Ali, start_col: int, beyond_col: int) -> Ali:
     score unset."""
     out = Ali(score=a.score)
     for c in a.comps:
-        nc = c.copy(text=c.text[start_col:beyond_col].copy())
+        nc = c.copy(text=c.text[start_col:beyond_col])  # view: no memcpy
         nc.start = c.start + c.nondash_before(start_col)
         nc.size = int(np.count_nonzero(nc.text != DASH))
         out.comps.append(nc)
@@ -118,12 +118,13 @@ def make_part_ali_col(a: Ali, cbeg: int, cend: int,
         return None
     out = Ali()
     for c in a.comps:
-        text = c.text[cbeg : cend + 1]
-        chs = int(np.count_nonzero(text != DASH))
+        pm = c.pos_map()
+        before = int(pm[cbeg - 1]) if cbeg > 0 else 0
+        chs = int(pm[cend]) - before
         if chs == 0:
             continue
-        nc = c.copy(text=text.copy())
-        nc.start = c.start + c.nondash_before(cbeg)
+        nc = c.copy(text=c.text[cbeg : cend + 1])  # view: no memcpy
+        nc.start = c.start + before
         nc.size = chs
         out.comps.append(nc)
     if not out.comps:
@@ -141,7 +142,7 @@ def part_ali_by_pos(a: Ali, beg: int, end: int,
     top = a.comps[0]
     rel_beg = beg - top.start
     rel_end = end - top.start
-    nond = np.flatnonzero(top.text != DASH)
+    nond = top.nd_idx()
     # C returns silently unless 0 <= rel_beg <= rel_end < #non-dash
     if not (0 <= rel_beg <= rel_end < nond.shape[0]):
         return None
@@ -149,12 +150,13 @@ def part_ali_by_pos(a: Ali, beg: int, end: int,
     col_end = int(nond[rel_end])
     out = Ali(score=sc.score_range(a, col_beg, col_end - col_beg + 1, sp=sp))
     for c in a.comps:
-        text = c.text[col_beg : col_end + 1]
-        chs = int(np.count_nonzero(text != DASH))
+        pm = c.pos_map()
+        before = int(pm[col_beg - 1]) if col_beg > 0 else 0
+        chs = int(pm[col_end]) - before
         if chs == 0:
             continue
-        nc = c.copy(text=text.copy())
-        nc.start = c.start + c.nondash_before(col_beg)
+        nc = c.copy(text=c.text[col_beg : col_end + 1])  # view
+        nc.start = c.start + before
         nc.size = chs
         out.comps.append(nc)
     if not out.comps:
@@ -169,16 +171,13 @@ def keep_ali(a: Ali, beg: int, sp: sc.ScoreParams | None = None) -> Ali:
     scan-time blocks, and this non-mutating contract is what lets them
     skip per-overlap snapshot copies (preyama.pre_yama_gen)."""
     top = a.comps[0]
-    col_beg = pos2col(top, beg)
-    t = top.text
-    while col_beg > 0 and t[col_beg - 1] == DASH:
-        col_beg -= 1
+    col_beg = col_back_over_dashes(top, beg)
     new_comps = []
     for c in a.comps:
         count = c.nondash_before(col_beg)
         if c.size - count < 1:
             continue
-        nc = c.copy(text=c.text[col_beg:].copy())
+        nc = c.copy(text=c.text[col_beg:])  # view: no memcpy
         nc.start += count
         nc.size -= count
         new_comps.append(nc)

@@ -17,7 +17,6 @@ Byte-exact parity targets (reference ``file:line``):
 from __future__ import annotations
 
 import sys
-from dataclasses import dataclass, field
 from typing import Iterator, List, Optional
 
 import numpy as np
@@ -41,17 +40,40 @@ def _split_src(src: str) -> tuple[str, str]:
     return src[:i], src[i + 1 :]
 
 
-@dataclass
 class Comp:
-    """One row of a MAF block (struct mafComp, maf.h:42-57)."""
+    """One row of a MAF block (struct mafComp, maf.h:42-57).
 
-    src: str
-    start: int
-    size: int
-    strand: str
-    src_size: int
-    text: np.ndarray  # uint8, length == block textSize
-    paralog: str = "s"  # 's' singleton | 'a' amplifier | 'c' copy
+    A plain ``__slots__`` class (not a dataclass): blocks are created and
+    sliced millions of times per chromosome-scale run, and constructor
+    cost is a measured pipeline bottleneck. Texts are uint8 arrays (often
+    views into a parent block's buffer) that are REPLACED, never mutated
+    in place — the invariant that makes view-slicing, text sharing across
+    block copies, and the identity-keyed coordinate caches sound."""
+
+    __slots__ = (
+        "src", "start", "size", "strand", "src_size", "text", "paralog",
+        "_pm", "_nd",
+    )
+
+    def __init__(
+        self,
+        src: str,
+        start: int,
+        size: int,
+        strand: str,
+        src_size: int,
+        text: np.ndarray,
+        paralog: str = "s",  # 's' singleton | 'a' amplifier | 'c' copy
+    ):
+        self.src = src
+        self.start = start
+        self.size = size
+        self.strand = strand
+        self.src_size = src_size
+        self.text = text
+        self.paralog = paralog
+        self._pm = None
+        self._nd = None
 
     @property
     def name(self) -> str:
@@ -66,6 +88,12 @@ class Comp:
         """One past the last position (start + size)."""
         return self.start + self.size
 
+    def __repr__(self) -> str:
+        return (
+            f"Comp(src={self.src!r}, start={self.start}, size={self.size}, "
+            f"strand={self.strand!r}, src_size={self.src_size})"
+        )
+
     def text_str(self) -> str:
         return self.text.tobytes().decode("latin-1")
 
@@ -73,15 +101,26 @@ class Comp:
         return self.text != DASH
 
     def copy(self, *, text: Optional[np.ndarray] = None) -> "Comp":
-        return Comp(
-            src=self.src,
-            start=self.start,
-            size=self.size,
-            strand=self.strand,
-            src_size=self.src_size,
-            text=self.text.copy() if text is None else text,
-            paralog=self.paralog,
-        )
+        c = Comp.__new__(Comp)
+        c.src = self.src
+        c.start = self.start
+        c.size = self.size
+        c.strand = self.strand
+        c.src_size = self.src_size
+        c.paralog = self.paralog
+        if text is None:
+            c.text = self.text.copy()
+            c._pm = None
+            c._nd = None
+        else:
+            c.text = text
+            if text is self.text:  # shared text: coordinate caches carry
+                c._pm = self._pm
+                c._nd = self._nd
+            else:
+                c._pm = None
+                c._nd = None
+        return c
 
     def nondash_before(self, col: int) -> int:
         """#non-dash chars in text[:col] (O(1) via the cached pos_map)."""
@@ -96,20 +135,37 @@ class Comp:
         replaced, never mutated in place (the invariant pre_yama_gen's
         snapshot also relies on), so identity is a sound cache key.
         """
-        cached = getattr(self, "_pm", None)
+        cached = self._pm
         if cached is not None and cached[0] is self.text:
             return cached[1]
         pm = np.cumsum(self.text != DASH)
         self._pm = (self.text, pm)
         return pm
 
+    def nd_idx(self) -> np.ndarray:
+        """Columns of the non-dash characters (the inverse map of
+        pos_map): nd_idx[k] = column of the (k+1)-th non-dash char.
+        Cached per text object like pos_map; makes pos2col O(1)."""
+        cached = self._nd
+        if cached is not None and cached[0] is self.text:
+            return cached[1]
+        nd = np.flatnonzero(self.text != DASH)
+        self._nd = (self.text, nd)
+        return nd
 
-@dataclass
+
 class Ali:
     """One MAF block (struct mafAli, maf.h:29-37)."""
 
-    comps: List[Comp] = field(default_factory=list)
-    score: Optional[float] = None  # None <=> reference's (double)MIN_INT
+    __slots__ = ("comps", "score")
+
+    def __init__(
+        self,
+        comps: Optional[List[Comp]] = None,
+        score: Optional[float] = None,  # None <=> reference (double)MIN_INT
+    ):
+        self.comps = [] if comps is None else comps
+        self.score = score
 
     @property
     def text_size(self) -> int:
@@ -119,8 +175,21 @@ class Ali:
     def nrow(self) -> int:
         return len(self.comps)
 
+    def __repr__(self) -> str:
+        return f"Ali(nrow={len(self.comps)}, score={self.score})"
+
     def copy(self) -> "Ali":
         return Ali(comps=[c.copy() for c in self.comps], score=self.score)
+
+    def copy_shared(self) -> "Ali":
+        """Fresh Ali + fresh Comp objects sharing the text buffers (and
+        their coordinate caches). Safe under the replace-don't-mutate
+        text invariant; replaces the deep copies the in-memory tool
+        wrappers used to take per invocation."""
+        return Ali(
+            comps=[c.copy(text=c.text) for c in self.comps],
+            score=self.score,
+        )
 
     def texts(self) -> np.ndarray:
         """(nrow, text_size) uint8 matrix of the block."""
@@ -132,13 +201,42 @@ def pos2col(comp: Comp, pos: int) -> int:
 
     pos and col are 0-based; pos must lie in [start, start+size).
     """
-    if pos < comp.start or pos >= comp.start + comp.size:
+    k = pos - comp.start
+    if k < 0 or k >= comp.size:
         raise ValueError(
             f"pos2col: {pos} not in {comp.start}-{comp.start + comp.size - 1}"
         )
-    # col of the (pos - start + 1)-th non-dash character
-    k = pos - comp.start + 1
-    return int(np.searchsorted(comp.pos_map(), k, side="left"))
+    # column of the (k+1)-th non-dash character
+    return int(comp.nd_idx()[k])
+
+
+def col_back_over_dashes(comp: Comp, pos: int) -> int:
+    """pos2col(comp, pos), then walk left over dash columns: the column
+    just after the previous non-dash char (0 if none). Replaces the
+    per-character ``while t[cb-1] == '-': cb -= 1`` walks of the merge
+    scan (multiz.c:120-122) with two O(1) lookups."""
+    k = pos - comp.start
+    if k < 0 or k >= comp.size:
+        raise ValueError(
+            f"pos2col: {pos} not in {comp.start}-{comp.start + comp.size - 1}"
+        )
+    if k == 0:
+        return 0
+    return int(comp.nd_idx()[k - 1]) + 1
+
+
+def col_fwd_over_dashes(comp: Comp, pos: int) -> int:
+    """pos2col(comp, pos), then walk right over dash columns: the column
+    just before the next non-dash char (text_size-1 if none)."""
+    k = pos - comp.start
+    if k < 0 or k >= comp.size:
+        raise ValueError(
+            f"pos2col: {pos} not in {comp.start}-{comp.start + comp.size - 1}"
+        )
+    nd = comp.nd_idx()
+    if k + 1 >= nd.shape[0]:
+        return int(comp.text.shape[0]) - 1
+    return int(nd[k + 1]) - 1
 
 
 def col2pos_after(comp: Comp, col: int) -> int:

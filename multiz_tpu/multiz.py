@@ -13,7 +13,9 @@ from typing import Callable, List, Optional
 
 from . import scores as sc
 from .blocks import keep_ali, make_part_ali_col, separate_by_src
-from .maf import Ali, pos2col, write_ali
+from .maf import (
+    Ali, col_back_over_dashes, col_fwd_over_dashes, pos2col, write_ali,
+)
 from .preyama import pre_yama, pre_yama_gen
 from .yama import yama_numpy
 
@@ -156,24 +158,15 @@ def multiz_scan(
         beg2 = a2.comps[0].start
         end2 = a2.comps[0].end - 1
 
-        # uncovered front flank (multiz.c:117-133)
+        # uncovered front flank (multiz.c:117-133); the per-character
+        # dash walks of the C become O(1) nd_idx lookups
         if beg1 < beg2 and beg2 - beg1 >= cfg.min_output_wid and w1.fh:
-            cb = pos2col(a1.comps[0], beg1)
-            t = a1.comps[0].text
-            while cb > 0 and t[cb - 1] == ord("-"):
-                cb -= 1
-            ce = pos2col(a1.comps[0], beg2 - 1)
-            while ce < a1.text_size - 1 and t[ce + 1] == ord("-"):
-                ce += 1
+            cb = col_back_over_dashes(a1.comps[0], beg1)
+            ce = col_fwd_over_dashes(a1.comps[0], beg2 - 1)
             w1.write_part(make_part_ali_col(a1, cb, ce, sp=sp))
         elif beg2 < beg1 and beg1 - beg2 >= cfg.min_output_wid and w2.fh:
-            cb = pos2col(a2.comps[0], beg2)
-            t = a2.comps[0].text
-            while cb > 0 and t[cb - 1] == ord("-"):
-                cb -= 1
-            ce = pos2col(a2.comps[0], beg1 - 1)
-            while ce < a2.text_size - 1 and t[ce + 1] == ord("-"):
-                ce += 1
+            cb = col_back_over_dashes(a2.comps[0], beg2)
+            ce = col_fwd_over_dashes(a2.comps[0], beg1 - 1)
             w2.write_part(make_part_ali_col(a2, cb, ce, sp=sp))
 
         beg = max(beg1, beg2)

@@ -308,6 +308,124 @@ PyObject* band_info(PyObject*, PyObject* args) {
                          (long long)cells);
 }
 
+// smooth: monotonize band bounds, then dilate into a radius-R sausage
+// (mz_preyama.c:17-35; preyama.smooth). In place on int64 LB/RB (M+1,).
+void smooth_c(int64_t* LB, int64_t* RB, Py_ssize_t M, int64_t N,
+              int64_t radius) {
+    for (Py_ssize_t i = 1; i <= M; ++i)
+        if (LB[i] < LB[i - 1]) LB[i] = LB[i - 1];
+    for (Py_ssize_t i = 0; i <= M; ++i)
+        if (RB[i] > N) RB[i] = N;
+    for (Py_ssize_t i = M - 1; i >= 0; --i)
+        if (RB[i] > RB[i + 1]) RB[i] = RB[i + 1];
+    int64_t radi = radius < (int64_t)M ? radius : (int64_t)M;
+    // L2[i] = min(max(LB[i]-radi, 0), LB[i-radi]) for i > radi; else 0.
+    // Descending order: reads at i-radi happen before that slot is
+    // overwritten (it is only written when the loop reaches it).
+    for (Py_ssize_t i = M; i >= radi + 1; --i) {
+        int64_t v = LB[i] - radi;
+        if (v < 0) v = 0;
+        if (LB[i - radi] < v) v = LB[i - radi];
+        LB[i] = v;
+    }
+    for (Py_ssize_t i = 0; i <= radi && i <= M; ++i) LB[i] = 0;
+    // R2[i] = max(min(RB[i]+radi, N), RB[i+radi]) for i < M-radi; else N.
+    for (Py_ssize_t i = 0; i < M - radi; ++i) {
+        int64_t v = RB[i] + radi;
+        if (v > N) v = N;
+        if (RB[i + radi] > v) v = RB[i + radi];
+        RB[i] = v;
+    }
+    for (Py_ssize_t i = M - radi < 0 ? 0 : M - radi; i <= M; ++i) RB[i] = N;
+}
+
+// smooth_into(LB, RB, M, N, radius) — preyama.smooth in place.
+PyObject* smooth_into(PyObject*, PyObject* args) {
+    PyObject *lbo, *rbo;
+    Py_ssize_t M;
+    long long N, radius;
+    if (!PyArg_ParseTuple(args, "OOnLL", &lbo, &rbo, &M, &N, &radius))
+        return nullptr;
+    Buf LBb(lbo, PyBUF_WRITABLE), RBb(rbo, PyBUF_WRITABLE);
+    if (!LBb.ok || !RBb.ok) return nullptr;
+    if (LBb.len() < (Py_ssize_t)((M + 1) * sizeof(int64_t)) ||
+        RBb.len() < (Py_ssize_t)((M + 1) * sizeof(int64_t))) {
+        PyErr_SetString(PyExc_ValueError, "smooth_into: bad buffers");
+        return nullptr;
+    }
+    smooth_c(reinterpret_cast<int64_t*>(LBb.u8()),
+             reinterpret_cast<int64_t*>(RBb.u8()), M, N, radius);
+    Py_RETURN_NONE;
+}
+
+// preyama_prep1(Bfull, N, L, top1s, M, top2s, radius, Bout, LB, RB) -> N_new
+//   The v==1 prep of pre_yama in one pass (mz_preyama.c:203-259):
+//   compact all-dash columns of B, derive the band from the lockstep
+//   walk of the two reference-row slices, monotonize + dilate.
+//   Bfull: uint8 (N, L) column-major C-contig; top1s: uint8 (M,);
+//   top2s: uint8 (N,); Bout: uint8 (>= N, L) writable;
+//   LB/RB: int64 (M+1,) writable (fully overwritten).
+PyObject* preyama_prep1(PyObject*, PyObject* args) {
+    PyObject *bo, *t1o, *t2o, *bouto, *lbo, *rbo;
+    Py_ssize_t N, L, M;
+    long long radius;
+    if (!PyArg_ParseTuple(args, "OnnOnOLOOO", &bo, &N, &L, &t1o, &M, &t2o,
+                          &radius, &bouto, &lbo, &rbo))
+        return nullptr;
+    Buf B(bo, PyBUF_SIMPLE), T1(t1o, PyBUF_SIMPLE), T2(t2o, PyBUF_SIMPLE),
+        BO(bouto, PyBUF_WRITABLE), LBb(lbo, PyBUF_WRITABLE),
+        RBb(rbo, PyBUF_WRITABLE);
+    if (!B.ok || !T1.ok || !T2.ok || !BO.ok || !LBb.ok || !RBb.ok)
+        return nullptr;
+    if (B.len() < N * L || T1.len() < M || T2.len() < N ||
+        BO.len() < N * L ||
+        LBb.len() < (Py_ssize_t)((M + 1) * sizeof(int64_t)) ||
+        RBb.len() < (Py_ssize_t)((M + 1) * sizeof(int64_t))) {
+        PyErr_SetString(PyExc_ValueError, "preyama_prep1: bad buffers");
+        return nullptr;
+    }
+    const uint8_t* b = B.u8();
+    const uint8_t* t1 = T1.u8();
+    const uint8_t* t2 = T2.u8();
+    uint8_t* bout = BO.u8();
+    int64_t* LB = reinterpret_cast<int64_t*>(LBb.u8());
+    int64_t* RB = reinterpret_cast<int64_t*>(RBb.u8());
+    PyThreadState* _save = PyEval_SaveThread();
+    // compact all-dash columns; map2[j] = 1-based new col or -1
+    int64_t* map2 = new int64_t[N + 1];
+    Py_ssize_t nn = 0;
+    for (Py_ssize_t j = 0; j < N; ++j) {
+        const uint8_t* col = b + j * L;
+        bool keep = false;
+        for (Py_ssize_t r = 0; r < L; ++r)
+            if (col[r] != DASH) { keep = true; break; }
+        if (keep) {
+            std::memcpy(bout + nn * L, col, L);
+            ++nn;
+            map2[j + 1] = nn;
+        } else {
+            map2[j + 1] = -1;
+        }
+    }
+    if (nn > 0) {
+        for (Py_ssize_t i = 0; i <= M; ++i) { LB[i] = 0; RB[i] = nn; }
+        // lockstep walk: t-th non-dash of top1s pairs with t-th of top2s
+        Py_ssize_t j = 0;  // 0-based scan over top2s
+        for (Py_ssize_t i = 1; i <= M; ++i) {
+            if (t1[i - 1] == DASH) continue;
+            while (j < N && t2[j] == DASH) ++j;
+            if (j >= N) break;
+            ++j;  // j is now the 1-based paired column of B
+            int64_t c2 = map2[j];
+            if (c2 != -1) { LB[i] = c2; RB[i] = c2; }
+        }
+        smooth_c(LB, RB, M, nn, radius);
+    }
+    delete[] map2;
+    PyEval_RestoreThread(_save);
+    return PyLong_FromSsize_t(nn);
+}
+
 // yama_into(A, M, K, B, N, L, LB, RB, ss_cat, cat, go, ge, out) -> nedit
 //   Full banded DP + traceback + replay on host: the same integer
 //   recurrence as multiz_tpu/yama.py yama_numpy (per-column statistics
@@ -606,6 +724,10 @@ PyMethodDef methods[] = {
      "sum-of-pairs mafScoreRange over stacked text rows"},
     {"band_info", band_info, METH_VARARGS,
      "band validation + window ladder pick + cell count in one pass"},
+    {"smooth_into", smooth_into, METH_VARARGS,
+     "monotonize + radius-dilate band bounds in place (preyama.smooth)"},
+    {"preyama_prep1", preyama_prep1, METH_VARARGS,
+     "v==1 pre_yama prep: compact B, lockstep band, smooth; returns N'"},
     {"traceback_into", traceback_into, METH_VARARGS,
      "edit-script extraction (newest-first); returns nedit"},
     {"replay_into", replay_into, METH_VARARGS,

@@ -25,12 +25,26 @@ from . import scores as sc
 from .maf import Ali, Comp, DASH, pos2col
 from .yama import yama_numpy
 
+try:  # native prep fast paths (see native/mzcore.cpp)
+    from .native import load as _load_native
+
+    _mzcore = _load_native()
+except Exception:
+    _mzcore = None
+_prep1 = getattr(_mzcore, "preyama_prep1", None) if _mzcore else None
+_smooth_nat = getattr(_mzcore, "smooth_into", None) if _mzcore else None
+
 DPFn = Callable[..., np.ndarray]
 
 
 def smooth(LB: np.ndarray, RB: np.ndarray, M: int, N: int, radius: int):
     """Monotonize band bounds, then dilate into a radius-R sausage
     (mz_preyama.c:17-35). Vectorized; returns new arrays."""
+    if _smooth_nat is not None:
+        L2 = LB[: M + 1].astype(np.int64, copy=True)
+        R2 = RB[: M + 1].astype(np.int64, copy=True)
+        _smooth_nat(L2, R2, M, N, radius)
+        return L2, R2
     LB = np.maximum.accumulate(LB[: M + 1].astype(np.int64))
     RB = np.minimum.accumulate(
         np.minimum(RB[: M + 1].astype(np.int64), N)[::-1]
@@ -118,6 +132,7 @@ def maf_build(
     # strided column copy + count per row
     AT = np.ascontiguousarray(A_new.T)  # (nrow, ncol)
     sizes = (AT != DASH).sum(axis=1)
+    kept = 0
     for i in range(nrow):
         size = int(sizes[i])
         if size == 0:
@@ -127,9 +142,15 @@ def maf_build(
         nc.start = d.start + d.nondash_before(beg)
         nc.size = size
         out.comps.append(nc)
+        kept += 1
     if not out.comps:
         return None
-    out.score = sc.score_range(out, 0, ncol, sp=sp)
+    # score straight off the transpose (no re-stack); drop all-dash rows
+    # first iff any were skipped (they contribute 0 to SS but the gap
+    # term would see spurious dash pairs -- the C scores the rebuilt
+    # block, which has them removed)
+    T = AT if kept == nrow else np.ascontiguousarray(AT[sizes > 0])
+    out.score = sc.score_matrix(T, 0, ncol, sp=sp)
     return out
 
 
@@ -204,6 +225,32 @@ def pre_yama_gen(
     cend2 = pos2col(top2, end)
     M = cend1 - cbeg1 + 1
     N = cend2 - cbeg2 + 1
+
+    # ---- v == 1 native fast path: compact + band + smooth in one C
+    # pass (K > 0 always holds here: a1 keeps all its rows) ----
+    if v == 1 and _prep1 is not None:
+        if L > 0:
+            B_full = np.stack(
+                [c.text[cbeg2 : cend2 + 1] for c in a2.comps[1:]], axis=1
+            )
+        else:
+            B_full = np.empty((N, 0), dtype=np.uint8)
+        B_out = np.empty_like(B_full)
+        LB = np.empty(M + 1, dtype=np.int64)
+        RB = np.empty(M + 1, dtype=np.int64)
+        Nn = _prep1(
+            B_full, N, L,
+            np.ascontiguousarray(top1.text[cbeg1 : cend1 + 1]), M,
+            np.ascontiguousarray(top2.text[cbeg2 : cend2 + 1]),
+            radius, B_out, LB, RB,
+        )
+        if Nn < 1:
+            return None
+        A = np.stack(
+            [c.text[cbeg1 : cend1 + 1] for c in a1.comps], axis=1
+        )
+        AL_new = yield (A, B_out[:Nn], LB, RB)
+        return maf_build(AL_new, a1, cbeg1, a2, cbeg2, 0, sp=sp)
 
     # column-major slices. L == 0 (a2 is a single-row block, e.g. a
     # pair2tb gap filler): the (N, 0) columns are vacuously all-dash,

@@ -156,12 +156,9 @@ def score_range_texts(
             f"score_range: start={start}, size={size}, textSize={text_size}"
         )
     if _mzcore_score is not None and n >= 2:
-        T = np.stack(rows, axis=0)
+        T = np.stack(rows, axis=0)  # np.stack output is C-contiguous
         return float(
-            _mzcore_score(
-                np.ascontiguousarray(T), n, text_size, start, size,
-                np.ascontiguousarray(sp.ss), np.ascontiguousarray(sp.gop),
-            )
+            _mzcore_score(T, n, text_size, start, size, sp.ss, sp.gop)
         )
     lo = max(start, 1)  # gap terms exist only for absolute column i > 0
     hi = start + size
@@ -179,6 +176,30 @@ def score_range_texts(
                     tj[lo:hi],
                 ).sum(dtype=np.int64)
     return float(total)
+
+
+def score_matrix(
+    T: np.ndarray, start: int, size: int, sp: ScoreParams | None = None
+) -> float:
+    """score_range_texts on an already-stacked (n, W) uint8 row matrix
+    (skips the per-call np.stack when the caller holds one, e.g.
+    preyama.maf_build's merged transpose)."""
+    if sp is None:
+        sp = current
+    n, W = T.shape
+    if n < 2:
+        return 0.0
+    if start < 0 or size <= 0 or start + size > W:
+        raise ValueError(
+            f"score_range: start={start}, size={size}, textSize={W}"
+        )
+    if _mzcore_score is not None:
+        return float(
+            _mzcore_score(
+                np.ascontiguousarray(T), n, W, start, size, sp.ss, sp.gop
+            )
+        )
+    return score_range_texts(list(T), start, size, sp=sp)
 
 
 def score_range(ali, start: int, size: int, sp: ScoreParams | None = None) -> float:

@@ -88,32 +88,46 @@ def parse_species_tree(
 
 
 # --------------------------------------------------------------------------
-# in-memory tool wrappers (each deep-copies its inputs, like a fresh parse)
+# in-memory tool wrappers.
+#
+# Ownership-transfer calling convention: every wrapper CONSUMES its block
+# list arguments (the blocks may be mutated in place and aliased into the
+# outputs) — mirroring the reference, where each tool invocation reads a
+# file whose content is never read again after the next step overwrites it
+# (tba.c:180-254 rewrites each temp file per bridge iteration). Callers in
+# this module always pass lists that are dead after the call; external
+# callers who need their input preserved must pass ``_cp(alis)``.
 # --------------------------------------------------------------------------
 
 Blocks = List[Ali]
 
 
 def _cp(alis: Blocks) -> Blocks:
-    return [a.copy() for a in alis]
+    # fresh Ali/Comp objects sharing text buffers: tools mutate block
+    # structure (row order, start/strand fields) and REPLACE texts, but
+    # never write into a text array, so sharing is safe and saves the
+    # dominant memcpy of the reference's re-parse-per-tool dataflow
+    return [a.copy_shared() for a in alis]
 
 
 def t_project(alis: Blocks, target: str, with_others: bool,
               sp=None) -> Tuple[Blocks, Blocks]:
     """maf_project invocation; ``with_others`` = an other-mafs file was
-    given (which disables beautify, maf_project.c:703-704)."""
+    given (which disables beautify, maf_project.c:703-704). Consumes
+    ``alis``."""
     proj, others = project(
-        _cp(alis), target, do_beautify=not with_others, sp=sp
+        alis, target, do_beautify=not with_others, sp=sp
     )
     return proj, others
 
 
 def t_multiz(l1: Blocks, l2: Blocks, v: int, cfg: MultizConfig,
              sp=None) -> Tuple[Blocks, Blocks, Blocks]:
+    """Consumes ``l1``/``l2`` (input blocks alias into the outputs)."""
     main: Blocks = []
     u1: Blocks = []
     u2: Blocks = []
-    multiz(_cp(l1), _cp(l2), v, main.append, u1.append, u2.append,
+    multiz(l1, l2, v, main.append, u1.append, u2.append,
            cfg=cfg, sp=sp)
     return main, u1, u2
 
@@ -121,31 +135,34 @@ def t_multiz(l1: Blocks, l2: Blocks, v: int, cfg: MultizConfig,
 def t_multic(l1: Blocks, l2: Blocks, v: int, cfg: MultizConfig,
              sp=None) -> Tuple[Blocks, Blocks, Blocks]:
     """multic with the multiz argv shape (tba.c:17-18: P=multic swaps the
-    aligner executable inside the same command strings)."""
+    aligner executable inside the same command strings). Consumes
+    ``l1``/``l2``."""
     mcfg = MulticConfig(
         radius=cfg.radius, min_output_wid=cfg.min_output_wid, row2=cfg.row2
     )
     main: Blocks = []
     u1: Blocks = []
     u2: Blocks = []
-    multic(_cp(l1), _cp(l2), v, main.append, u1.append, u2.append,
+    multic(l1, l2, v, main.append, u1.append, u2.append,
            cfg=mcfg, sp=sp)
     return main, u1, u2
 
 
 def t_pair2tb(alis: Blocks, seq1: str, seq2: str) -> Blocks:
+    """Consumes ``alis`` (one internal snapshot keeps the pass-through
+    copies intact while get_maf_between/flip walk and mutate)."""
     out: Blocks = []
-    work = _cp(alis)
-    out.extend(_cp(work))
-    work = get_maf_between(work, seq1, out.append)
+    out.extend(_cp(alis))
+    work = get_maf_between(alis, seq1, out.append)
     flip_comps(work)
     get_maf_between(work, seq2, out.append)
     return out
 
 
 def t_get_covered(l1: Blocks, l2: Blocks, sp=None) -> Blocks:
+    """Consumes ``l1``/``l2`` (the lists; emitted blocks are fresh)."""
     out: Blocks = []
-    cp1, cp2 = _cp(l1), _cp(l2)
+    cp1, cp2 = list(l1), list(l2)
     while cp1 and cp2:
         chrom = cp2[0].comps[0].src
         cp2, wk2 = separate_by_src(cp2, chrom)
@@ -156,9 +173,9 @@ def t_get_covered(l1: Blocks, l2: Blocks, sp=None) -> Blocks:
 
 def t_strip_top(alis: Blocks, sp=None) -> Blocks:
     """get_rid_of_top (tba.c:46-70): drop the top row of every multi-row
-    block, rescore; single-row blocks vanish."""
+    block, rescore; single-row blocks vanish. Consumes ``alis``."""
     out: Blocks = []
-    for a in _cp(alis):
+    for a in alis:
         if len(a.comps) > 1:
             a.comps = a.comps[1:]
             a.score = sc.score_range(a, 0, a.text_size, sp=sp)
