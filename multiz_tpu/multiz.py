@@ -66,14 +66,22 @@ class _Writer:
 class _DeferredDP:
     """Collects pre_yama coroutines during planning; executes their DP
     jobs in batched rounds (round 1 = every first DP, round 2 = the
-    v==0 second DPs, ...), then exposes per-slot results."""
+    v==0 second DPs, ...), then exposes per-slot results.
+
+    When the batch backend publishes a ``stream_cls`` (e.g.
+    ops.yama_pack.yama_batch_packed), round-1 jobs are forwarded to a
+    streaming instance AS THE SCAN PLANS THEM, so padded bucket
+    launches dispatch asynchronously and the device computes under the
+    host's remaining planning work; ``run()`` only pays the tail."""
 
     def __init__(self, batch_fn: Callable, sp):
         self.batch_fn = batch_fn
         self.sp = sp
-        self.pending: list = []  # (gen, slot, job)
+        self.pending: list = []  # (gen, slot, job-or-stream-handle)
         self.results: dict = {}
         self.n = 0
+        stream_cls = getattr(batch_fn, "stream_cls", None)
+        self.stream = stream_cls(sp=sp) if stream_cls is not None else None
 
     def submit(self, gen) -> int:
         slot = self.n
@@ -83,13 +91,21 @@ class _DeferredDP:
         except StopIteration as e:
             self.results[slot] = e.value
         else:
+            if self.stream is not None:
+                job = self.stream.submit(job)  # -> stream handle
             self.pending.append((gen, slot, job))
         return slot
 
     def run(self) -> None:
+        first = True
         while self.pending:
-            jobs = [j for (_, _, j) in self.pending]
-            outs = self.batch_fn(jobs, sp=self.sp)
+            if self.stream is not None and first:
+                outs_all = self.stream.finish()
+                outs = [outs_all[h] for (_, _, h) in self.pending]
+            else:
+                jobs = [j for (_, _, j) in self.pending]
+                outs = self.batch_fn(jobs, sp=self.sp)
+            first = False
             nxt = []
             for (gen, slot, _), res in zip(self.pending, outs):
                 try:

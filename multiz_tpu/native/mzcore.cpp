@@ -19,6 +19,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -221,7 +222,13 @@ PyObject* score_range(PyObject*, PyObject* args) {
     const Py_ssize_t lo = start > 1 ? start : 1;
     const Py_ssize_t hi = start + size;
     int64_t total = 0;
-    PyThreadState* _save = PyEval_SaveThread();
+    // Release the GIL only when the work is long enough to matter:
+    // most calls score a few hundred columns (~microseconds), and
+    // forfeiting the GIL there makes the calling thread queue behind
+    // the host-DP lane worker for milliseconds per call (measured:
+    // +27 us/call average under lane load).
+    const bool big = (int64_t)size * n * (n - 1) > 200000;
+    PyThreadState* _save = big ? PyEval_SaveThread() : nullptr;
     for (Py_ssize_t i = 0; i < n; ++i) {
         const uint8_t* a = t + i * W;
         for (Py_ssize_t j = i + 1; j < n; ++j) {
@@ -236,7 +243,7 @@ PyObject* score_range(PyObject*, PyObject* args) {
             }
         }
     }
-    PyEval_RestoreThread(_save);
+    if (_save) PyEval_RestoreThread(_save);
     return PyLong_FromLongLong((long long)total);
 }
 
@@ -390,7 +397,10 @@ PyObject* preyama_prep1(PyObject*, PyObject* args) {
     uint8_t* bout = BO.u8();
     int64_t* LB = reinterpret_cast<int64_t*>(LBb.u8());
     int64_t* RB = reinterpret_cast<int64_t*>(RBb.u8());
-    PyThreadState* _save = PyEval_SaveThread();
+    // short call (tens of us): keep the GIL — releasing it queues this
+    // thread behind the host-DP lane worker (see score_range)
+    const bool big = (int64_t)N * (L + 1) > 500000;
+    PyThreadState* _save = big ? PyEval_SaveThread() : nullptr;
     // compact all-dash columns; map2[j] = 1-based new col or -1
     int64_t* map2 = new int64_t[N + 1];
     Py_ssize_t nn = 0;
@@ -422,75 +432,19 @@ PyObject* preyama_prep1(PyObject*, PyObject* args) {
         smooth_c(LB, RB, M, nn, radius);
     }
     delete[] map2;
-    PyEval_RestoreThread(_save);
+    if (_save) PyEval_RestoreThread(_save);
     return PyLong_FromSsize_t(nn);
 }
 
-// yama_into(A, M, K, B, N, L, LB, RB, ss_cat, cat, go, ge, out) -> nedit
-//   Full banded DP + traceback + replay on host: the same integer
-//   recurrence as multiz_tpu/yama.py yama_numpy (per-column statistics
-//   collapse the reference's K*L inner loops, mz_yama.c:123-225, into
-//   a handful of products), with identical C>=D>I tie-breaking.
-//   A: uint8 (M, K); B: uint8 (N, L); LB/RB: int64 (M+1,);
-//   ss_cat: int32 (6, 6); cat: int8[256]; out: uint8 (M+N, K+L).
-PyObject* yama_into(PyObject*, PyObject* args) {
-    PyObject *ao, *bo, *lbo, *rbo, *sso, *cato, *oo;
-    Py_ssize_t M, K, N, L;
-    long go, ge;
-    if (!PyArg_ParseTuple(args, "OnnOnnOOOOllO", &ao, &M, &K, &bo, &N, &L,
-                          &lbo, &rbo, &sso, &cato, &go, &ge, &oo))
-        return nullptr;
-    Buf A(ao, PyBUF_SIMPLE), B(bo, PyBUF_SIMPLE), LBb(lbo, PyBUF_SIMPLE),
-        RBb(rbo, PyBUF_SIMPLE), SS(sso, PyBUF_SIMPLE), CAT(cato, PyBUF_SIMPLE),
-        O(oo, PyBUF_WRITABLE);
-    if (!A.ok || !B.ok || !LBb.ok || !RBb.ok || !SS.ok || !CAT.ok || !O.ok)
-        return nullptr;
-    if (A.len() < M * K || B.len() < N * L ||
-        LBb.len() < (Py_ssize_t)((M + 1) * sizeof(int64_t)) ||
-        RBb.len() < (Py_ssize_t)((M + 1) * sizeof(int64_t)) ||
-        SS.len() < (Py_ssize_t)(36 * sizeof(int32_t)) || CAT.len() < 256 ||
-        O.len() < (M + N) * (K + L)) {
-        PyErr_SetString(PyExc_ValueError, "yama_into: bad buffer sizes");
-        return nullptr;
-    }
-    const uint8_t* a = A.u8();
-    const uint8_t* b = B.u8();
-    const int64_t* LB = reinterpret_cast<const int64_t*>(LBb.u8());
-    const int64_t* RB = reinterpret_cast<const int64_t*>(RBb.u8());
-    const int32_t* ss = SS.i32();
-    const int8_t* c8 = reinterpret_cast<const int8_t*>(CAT.u8());
+// Core of the host DP: validation happens in the wrappers (so errors
+// can raise with the GIL held); this body is pure C and runs with the
+// GIL released. Returns nedit, or -1 on an internal traceback error.
+Py_ssize_t yama_run(const uint8_t* a, Py_ssize_t M, Py_ssize_t K,
+                    const uint8_t* b, Py_ssize_t N, Py_ssize_t L,
+                    const int64_t* LB, const int64_t* RB,
+                    const int32_t* ss, const int8_t* c8,
+                    long go, long ge, int64_t tb_cells, uint8_t* outbuf) {
     constexpr int64_t MININT = -(int64_t(1) << 30);
-
-    // Traceback storage is band-sized, exactly like the reference's
-    // tback_size = sum over rows of RB-LB+1 (mz_yama.c:60-77): a 50kb x
-    // 50kb R=30 problem needs ~3MB, not (M+1)*(N+1) = 2.5GB. Size checks
-    // (and any PyErr) happen BEFORE the GIL is released.
-    // Full entry sanity checks of yama (mz_yama.c:58-71), so the Python
-    // caller can skip its own pass when dispatching here.
-    if (LB[0] != 0 || RB[M] != N) {
-        PyErr_SetString(PyExc_ValueError,
-                        "LB and RB not terminated properly");
-        return nullptr;
-    }
-    const int64_t minw = N < 10 ? N : 10;
-    int64_t tb_cells = 0;
-    for (Py_ssize_t r = 0; r <= M; ++r) {
-        if (RB[r] < LB[r] || LB[r] < 0 || RB[r] > N ||
-            RB[r] - LB[r] < minw) {
-            PyErr_SetString(PyExc_ValueError, "yama_into: bad band");
-            return nullptr;
-        }
-        if (r > 0 && (LB[r] < LB[r - 1] || RB[r] < RB[r - 1])) {
-            PyErr_SetString(PyExc_ValueError, "yama_into: band not monotonic");
-            return nullptr;
-        }
-        tb_cells += RB[r] - LB[r] + 1;
-    }
-    if (tb_cells > (int64_t)1 << 36) {  // 64 GiB of flags: plainly hopeless
-        PyErr_SetString(PyExc_ValueError, "yama_into: problem too large");
-        return nullptr;
-    }
-    PyThreadState* _save = PyEval_SaveThread();  // pure C below
 
     // ---- per-column stats (yama.py column_stats) ----
     auto stats = [&](const uint8_t* x, Py_ssize_t ncol, Py_ssize_t nrow,
@@ -678,7 +632,7 @@ PyObject* yama_into(PyObject*, PyObject* args) {
     }
     Py_ssize_t result = -1;
     if (!bad) {
-        uint8_t* out = O.u8();
+        uint8_t* out = outbuf;
         const Py_ssize_t W = K + L;
         Py_ssize_t ai = 0, bi = 0;
         for (Py_ssize_t t = 0; t < nedit && !bad; ++t) {
@@ -706,7 +660,85 @@ PyObject* yama_into(PyObject*, PyObject* args) {
     delete[] b0; delete[] b1; delete[] pb; delete[] sr;
     delete[] dpC; delete[] dpD; delete[] dpI; delete[] flags; delete[] trow;
     delete[] script;
-    PyEval_RestoreThread(_save);
+    return result;
+}
+
+// Validate one problem's band with the GIL held; returns tb_cells or -1
+// with a Python error set.
+int64_t yama_validate(Py_ssize_t M, Py_ssize_t N, const int64_t* LB,
+                      const int64_t* RB) {
+    // Traceback storage is band-sized, exactly like the reference's
+    // tback_size = sum over rows of RB-LB+1 (mz_yama.c:60-77): a 50kb x
+    // 50kb R=30 problem needs ~3MB, not (M+1)*(N+1) = 2.5GB.
+    // Full entry sanity checks of yama (mz_yama.c:58-71), so the Python
+    // caller can skip its own pass when dispatching here.
+    if (LB[0] != 0 || RB[M] != N) {
+        PyErr_SetString(PyExc_ValueError,
+                        "LB and RB not terminated properly");
+        return -1;
+    }
+    const int64_t minw = N < 10 ? N : 10;
+    int64_t tb_cells = 0;
+    for (Py_ssize_t r = 0; r <= M; ++r) {
+        if (RB[r] < LB[r] || LB[r] < 0 || RB[r] > N ||
+            RB[r] - LB[r] < minw) {
+            PyErr_SetString(PyExc_ValueError, "yama_into: bad band");
+            return -1;
+        }
+        if (r > 0 && (LB[r] < LB[r - 1] || RB[r] < RB[r - 1])) {
+            PyErr_SetString(PyExc_ValueError,
+                            "yama_into: band not monotonic");
+            return -1;
+        }
+        tb_cells += RB[r] - LB[r] + 1;
+    }
+    if (tb_cells > (int64_t)1 << 36) {  // 64 GiB of flags: hopeless
+        PyErr_SetString(PyExc_ValueError, "yama_into: problem too large");
+        return -1;
+    }
+    return tb_cells;
+}
+
+// yama_into(A, M, K, B, N, L, LB, RB, ss_cat, cat, go, ge, out) -> nedit
+//   Full banded DP + traceback + replay on host: the same integer
+//   recurrence as multiz_tpu/yama.py yama_numpy (per-column statistics
+//   collapse the reference's K*L inner loops, mz_yama.c:123-225, into
+//   a handful of products), with identical C>=D>I tie-breaking.
+//   A: uint8 (M, K); B: uint8 (N, L); LB/RB: int64 (M+1,);
+//   ss_cat: int32 (6, 6); cat: int8[256]; out: uint8 (M+N, K+L).
+PyObject* yama_into(PyObject*, PyObject* args) {
+    PyObject *ao, *bo, *lbo, *rbo, *sso, *cato, *oo;
+    Py_ssize_t M, K, N, L;
+    long go, ge;
+    if (!PyArg_ParseTuple(args, "OnnOnnOOOOllO", &ao, &M, &K, &bo, &N, &L,
+                          &lbo, &rbo, &sso, &cato, &go, &ge, &oo))
+        return nullptr;
+    Buf A(ao, PyBUF_SIMPLE), B(bo, PyBUF_SIMPLE), LBb(lbo, PyBUF_SIMPLE),
+        RBb(rbo, PyBUF_SIMPLE), SS(sso, PyBUF_SIMPLE), CAT(cato, PyBUF_SIMPLE),
+        O(oo, PyBUF_WRITABLE);
+    if (!A.ok || !B.ok || !LBb.ok || !RBb.ok || !SS.ok || !CAT.ok || !O.ok)
+        return nullptr;
+    if (A.len() < M * K || B.len() < N * L ||
+        LBb.len() < (Py_ssize_t)((M + 1) * sizeof(int64_t)) ||
+        RBb.len() < (Py_ssize_t)((M + 1) * sizeof(int64_t)) ||
+        SS.len() < (Py_ssize_t)(36 * sizeof(int32_t)) || CAT.len() < 256 ||
+        O.len() < (M + N) * (K + L)) {
+        PyErr_SetString(PyExc_ValueError, "yama_into: bad buffer sizes");
+        return nullptr;
+    }
+    const int64_t* LB = reinterpret_cast<const int64_t*>(LBb.u8());
+    const int64_t* RB = reinterpret_cast<const int64_t*>(RBb.u8());
+    int64_t tb_cells = yama_validate(M, N, LB, RB);
+    if (tb_cells < 0) return nullptr;
+    Py_ssize_t result;
+    {
+        PyThreadState* _save = PyEval_SaveThread();  // pure C below
+        result = yama_run(
+            A.u8(), M, K, B.u8(), N, L, LB, RB, SS.i32(),
+            reinterpret_cast<const int8_t*>(CAT.u8()), go, ge, tb_cells,
+            O.u8());
+        PyEval_RestoreThread(_save);
+    }
     if (result < 0) {
         PyErr_SetString(PyExc_ValueError,
                         "yama_into: error generating edit script");
@@ -715,11 +747,109 @@ PyObject* yama_into(PyObject*, PyObject* args) {
     return PyLong_FromSsize_t(result);
 }
 
+// yama_many(problems, ss_cat, cat, go, ge) -> list[nedit]
+//   problems: sequence of (A, M, K, B, N, L, LB, RB, out) tuples.
+//   Runs every DP under ONE GIL release — the host DP lane's worker
+//   thread uses this so it re-acquires the GIL once per chunk instead
+//   of once per job (per-job handoffs convoy against the planning
+//   thread's 5 ms GIL slices).
+PyObject* yama_many(PyObject*, PyObject* args) {
+    PyObject* seq;
+    PyObject *sso, *cato;
+    long go, ge;
+    if (!PyArg_ParseTuple(args, "OOOll", &seq, &sso, &cato, &go, &ge))
+        return nullptr;
+    Buf SS(sso, PyBUF_SIMPLE), CAT(cato, PyBUF_SIMPLE);
+    if (!SS.ok || !CAT.ok) return nullptr;
+    if (SS.len() < (Py_ssize_t)(36 * sizeof(int32_t)) || CAT.len() < 256) {
+        PyErr_SetString(PyExc_ValueError, "yama_many: bad tables");
+        return nullptr;
+    }
+    PyObject* fast = PySequence_Fast(seq, "yama_many: expected a sequence");
+    if (!fast) return nullptr;
+    const Py_ssize_t n = PySequence_Fast_GET_SIZE(fast);
+    struct Job {
+        Buf A, B, LBb, RBb, O;
+        Py_ssize_t M, K, N, L;
+        int64_t tb_cells;
+        Py_ssize_t nedit;
+        Job(PyObject* a, PyObject* b, PyObject* lb, PyObject* rb,
+            PyObject* o)
+            : A(a, PyBUF_SIMPLE), B(b, PyBUF_SIMPLE),
+              LBb(lb, PyBUF_SIMPLE), RBb(rb, PyBUF_SIMPLE),
+              O(o, PyBUF_WRITABLE) {}
+    };
+    std::vector<Job*> jobs;
+    jobs.reserve(n);
+    bool ok = true;
+    for (Py_ssize_t i = 0; i < n && ok; ++i) {
+        PyObject* t = PySequence_Fast_GET_ITEM(fast, i);
+        PyObject *ao, *bo, *lbo, *rbo, *oo;
+        Py_ssize_t M, K, N, L;
+        if (!PyArg_ParseTuple(t, "OnnOnnOOO", &ao, &M, &K, &bo, &N, &L,
+                              &lbo, &rbo, &oo)) {
+            ok = false;
+            break;
+        }
+        Job* j = new Job(ao, bo, lbo, rbo, oo);
+        j->M = M; j->K = K; j->N = N; j->L = L;
+        jobs.push_back(j);
+        if (!j->A.ok || !j->B.ok || !j->LBb.ok || !j->RBb.ok || !j->O.ok) {
+            ok = false;
+            break;
+        }
+        if (j->A.len() < M * K || j->B.len() < N * L ||
+            j->LBb.len() < (Py_ssize_t)((M + 1) * sizeof(int64_t)) ||
+            j->RBb.len() < (Py_ssize_t)((M + 1) * sizeof(int64_t)) ||
+            j->O.len() < (M + N) * (K + L)) {
+            PyErr_SetString(PyExc_ValueError, "yama_many: bad buffers");
+            ok = false;
+            break;
+        }
+        j->tb_cells = yama_validate(
+            M, N, reinterpret_cast<const int64_t*>(j->LBb.u8()),
+            reinterpret_cast<const int64_t*>(j->RBb.u8()));
+        if (j->tb_cells < 0) ok = false;
+    }
+    Py_ssize_t bad_at = -1;
+    if (ok) {
+        const int32_t* ss = SS.i32();
+        const int8_t* c8 = reinterpret_cast<const int8_t*>(CAT.u8());
+        PyThreadState* _save = PyEval_SaveThread();
+        for (Py_ssize_t i = 0; i < (Py_ssize_t)jobs.size(); ++i) {
+            Job* j = jobs[i];
+            j->nedit = yama_run(
+                j->A.u8(), j->M, j->K, j->B.u8(), j->N, j->L,
+                reinterpret_cast<const int64_t*>(j->LBb.u8()),
+                reinterpret_cast<const int64_t*>(j->RBb.u8()),
+                ss, c8, go, ge, j->tb_cells, j->O.u8());
+            if (j->nedit < 0) { bad_at = i; break; }
+        }
+        PyEval_RestoreThread(_save);
+    }
+    PyObject* out = nullptr;
+    if (ok && bad_at < 0) {
+        out = PyList_New(jobs.size());
+        if (out)
+            for (Py_ssize_t i = 0; i < (Py_ssize_t)jobs.size(); ++i)
+                PyList_SET_ITEM(out, i, PyLong_FromSsize_t(jobs[i]->nedit));
+    } else if (ok) {
+        PyErr_Format(PyExc_ValueError,
+                     "yama_many: error generating edit script (job %zd)",
+                     bad_at);
+    }
+    for (Job* j : jobs) delete j;
+    Py_DECREF(fast);
+    return out;
+}
+
 PyMethodDef methods[] = {
     {"colstats_into", colstats_into, METH_VARARGS,
      "per-column stats into pre-allocated int32 buffers"},
     {"yama_into", yama_into, METH_VARARGS,
      "full banded DP + traceback + replay; returns nedit"},
+    {"yama_many", yama_many, METH_VARARGS,
+     "batched host DP: many problems under one GIL release"},
     {"score_range", score_range, METH_VARARGS,
      "sum-of-pairs mafScoreRange over stacked text rows"},
     {"band_info", band_info, METH_VARARGS,

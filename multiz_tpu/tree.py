@@ -344,12 +344,23 @@ class Tba:
         self.tba: Dict[int, Blocks] = {}
         self.left: Dict[int, Blocks] = {}
         self.right: Dict[int, Blocks] = {}
+        self._pair_cache: Dict[str, Blocks] = {}
 
     def _pair(self, a: str, b: str) -> Optional[Blocks]:
         name = f"{a}.{b}{self.suffix}"
         if name not in self.pair_files:
             return None
-        return read_maf(os.path.join(self.src_dir, name), verbose=False)
+        # The reference re-reads the bz file per bridge-pair iteration
+        # (tba.c:179); an in-memory parse cache serves shared-text
+        # copies instead (tools consume their inputs, so each caller
+        # needs fresh Ali/Comp wrappers but not fresh text buffers).
+        cached = self._pair_cache.get(name)
+        if cached is None:
+            cached = read_maf(
+                os.path.join(self.src_dir, name), verbose=False
+            )
+            self._pair_cache[name] = cached
+        return [a_.copy_shared() for a_ in cached]
 
     def _seq(self, species: str) -> str:
         return os.path.join(self.src_dir, species)
