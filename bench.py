@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 C_BASELINE_CELLS_PER_SEC = 11_468_556.0  # ref C -O2, this host
 
-N_PROBLEMS = 1024
+N_PROBLEMS = int(os.environ.get("MZ_BENCH_N", "1024"))
 SEED = 42
 # best-of-5: the axon tunnel adds +-15% run-to-run noise to the
 # device-sync phase; extra iterations cost ~0.5s each
@@ -98,7 +98,7 @@ def main() -> None:
 
     _emit(
         best,
-        "band-cells/s (1024-problem batch, end-to-end)",
+        f"band-cells/s ({N_PROBLEMS}-problem batch, end-to-end)",
         best / C_BASELINE_CELLS_PER_SEC,
     )
 

@@ -966,6 +966,8 @@ class PackedDPStream:
         sp: sc.ScoreParams | None = None,
         flush_cells: int | None = None,
         host_route: int | None = None,
+        host_lane_cells: int | None = None,
+        autoflush: bool = True,
     ):
         from ..yama import _mzcore
 
@@ -998,6 +1000,7 @@ class PackedDPStream:
         self.pending: list = []  # (slots, device_out)
         self.fb_jobs = self.fb_cells = self.tot_cells = 0
         self.timing = _os.environ.get("MZ_TIME")
+        self.autoflush = autoflush
         self._pack_s = self._disp_s = 0.0
         # ---- host DP lane ----
         # The native host DP releases the GIL, so a worker thread runs
@@ -1011,11 +1014,20 @@ class PackedDPStream:
         # its throughput advantage is real. MZ_HOST_LANE_CELLS bounds
         # the lane's backlog (default: effectively unbounded — overflow
         # to the device is SLOWER for these shapes).
+        # Streaming (pipeline) default: no backlog cap — the planners
+        # feed ~25M cells/s and two lane workers drain faster, so the
+        # lane absorbs everything small (measured: overflowing mid-size
+        # jobs to the device LOSES at these shapes). One-shot callers
+        # (yama_batch_packed, bench) pass a cap instead: all jobs
+        # arrive at once there, and the cap leaves the lane just enough
+        # to finish in the shadow of the device tail.
         self.host_job_cells = int(
             _os.environ.get("MZ_HOST_JOB_CELLS", "65536")
         )
-        self.host_lane_cells = int(
-            _os.environ.get("MZ_HOST_LANE_CELLS", str(1 << 60))
+        self.host_lane_cells = (
+            host_lane_cells
+            if host_lane_cells is not None
+            else int(_os.environ.get("MZ_HOST_LANE_CELLS", str(1 << 60)))
         )
         nthreads = int(_os.environ.get("MZ_HOST_DP_THREADS", "2"))
         self._host_pool = None
@@ -1152,6 +1164,12 @@ class PackedDPStream:
         # variant each (minutes of XLA compile over the axon tunnel).
         # Exact multiples of the group width keep the variant set
         # bounded (and mid-stream chunks carry zero padding).
+        if not self.autoflush:
+            # one-shot mode: buffer everything so finish() flushes the
+            # whole bucket globally size-sorted (a mid-stream chunk of
+            # mixed sizes makes every traceback walk group pay the max
+            # M+N of the chunk)
+            return slot
         np_cap = max(8, _np_active() // (cw // 256))
         chunk = np_cap * int(_os.environ.get("MZ_CHUNK_G", "8"))
         if len(lst) >= chunk:
@@ -1199,12 +1217,22 @@ class PackedDPStream:
         self.dispatched.add(key)
         mp1 = m_pad + 1
         mp_rows = -(-mp1 // ROW_CHUNK) * ROW_CHUNK
-        # per-launch job cap: the DP flag matrix costs mp_rows*cw*4
-        # bytes per job in HBM between the DP and traceback kernels
+        # Per-launch job cap from the HBM budget. The DP flag matrix
+        # alone costs mp_rows*cw*4 bytes per job between the DP and
+        # traceback kernels; XLA's measured peak per program is ~4x
+        # that (stats, bst, double-buffered windows — a 1536-job
+        # m_pad=1024 launch compiled to a 17G allocation against 15.75G
+        # of HBM, r5). The cap is itself quantized DOWN to the launch
+        # ladder so rounding a part's batch up can never overshoot it.
         bcap = max(
             np_,
-            (self.flag_budget // (mp_rows * cw * 4)) // np_ * np_,
+            (self.flag_budget // (mp_rows * cw * 16)) // np_ * np_,
         )
+        g = bcap // np_
+        if g > 4:
+            step = 1 << (g.bit_length() - 2)
+            g = (g // step) * step  # ladder floor
+        bcap = g * np_
         # static prefix-max depth, pow2-rounded to bound compile variants
         maxw = max(self.job_w[s] for s in slots)
         pm_d = 16
@@ -1386,8 +1414,15 @@ def yama_batch_packed(jobs, sp: sc.ScoreParams | None = None):
     exact host oracle. Results are merged column matrices in input
     order, bit-identical to yama_numpy. (One-shot driver over
     PackedDPStream; the streaming form overlaps dispatch with the merge
-    scan's planning phase.)"""
-    st = PackedDPStream(sp=sp)
+    scan's planning phase. The one-shot lane cap keeps the host lane to
+    what it can drain in the shadow of the device tail.)"""
+    st = PackedDPStream(
+        sp=sp,
+        host_lane_cells=int(
+            _os.environ.get("MZ_HOST_LANE_CELLS", "8000000")
+        ),
+        autoflush=False,
+    )
     for j in jobs:
         st.submit(j)
     return st.finish()

@@ -293,6 +293,21 @@ def roast_run(ref, tree, pair_files, src_dir=".", cfg=None, suffix=".sing.maf",
               sp=None, aligner="multiz") -> Blocks:
     """Full roast pipeline (auto_mz.c:120-285): merge per guide-tree node,
     final projection onto the reference."""
+    import gc
+
+    _gc_was = gc.isenabled()
+    if _gc_was:
+        gc.disable()  # see tba_run: no cycles, ~20% of wall in GC scans
+    try:
+        return _roast_run_inner(ref, tree, pair_files, src_dir, cfg,
+                                suffix, sp, aligner)
+    finally:
+        if _gc_was:
+            gc.enable()
+
+
+def _roast_run_inner(ref, tree, pair_files, src_dir, cfg, suffix, sp,
+                     aligner) -> Blocks:
     eng = Roast(ref, tree, pair_files, src_dir, cfg, suffix, sp=sp,
                 aligner=aligner)
 
@@ -780,6 +795,26 @@ def tba_run(tree, pair_files, src_dir=".", cfg=None, suffix=".sing.maf",
     results and the final blockset is the root node's accumulator (the
     reference runs all merges strictly sequentially via
     parseSpeciesTree, speciesTree.c:71-110)."""
+    import gc
+
+    # Chromosome-scale runs allocate millions of small block objects;
+    # the cyclic collector's generational scans cost ~20% of wall time
+    # (measured, 2Mb config) and nothing here creates cycles — refcounts
+    # free everything. Scope-limited disable, like the reference's
+    # arena-free model (util.c ckalloc, never collected mid-run).
+    _gc_was = gc.isenabled()
+    if _gc_was:
+        gc.disable()
+    try:
+        return _tba_run_inner(tree, pair_files, src_dir, cfg, suffix,
+                              ref, sp, aligner, parallel)
+    finally:
+        if _gc_was:
+            gc.enable()
+
+
+def _tba_run_inner(tree, pair_files, src_dir, cfg, suffix, ref, sp,
+                   aligner, parallel) -> Blocks:
     eng = Tba(tree, pair_files, src_dir, cfg, suffix, ref=ref, sp=sp,
               aligner=aligner)
 

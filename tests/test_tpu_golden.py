@@ -32,6 +32,9 @@ def _force_chip(monkeypatch):
     native host DP and the chip would never be exercised (the exact gap
     that let the r3 G>1 lowering regression ship — VERDICT r3 weak #2)."""
     monkeypatch.setenv("MZ_HOST_ROUTE_CELLS", "0")
+    # ... and the r5 host DP lane would likewise absorb every small job
+    # before it reached the device
+    monkeypatch.setenv("MZ_HOST_JOB_CELLS", "0")
 
 
 @pytest.fixture(scope="module")
