@@ -177,14 +177,30 @@ def keep_ali(a: Ali, beg: int, sp: sc.ScoreParams | None = None) -> Ali:
         count = c.nondash_before(col_beg)
         if c.size - count < 1:
             continue
-        nc = c.copy(text=c.text[col_beg:])  # view: no memcpy
+        text = c.text
+        nc = c.copy(text=text[col_beg:])  # view: no memcpy
         nc.start += count
         nc.size -= count
+        # Derive the child's coordinate caches from the parent's by
+        # offset arithmetic instead of re-scanning the text: blocks are
+        # truncated repeatedly by the merge scan and the repeated
+        # cumsum/flatnonzero over fresh views dominates at high row
+        # counts. (nondash_before above just forced the parent's pm.)
+        pm = c._pm
+        if pm is not None and pm[0] is text:
+            nc._pm = (nc.text, pm[1][col_beg:] - count)
+        nd = c._nd
+        if nd is not None and nd[0] is text:
+            nc._nd = (nc.text, nd[1][count:] - col_beg)
         new_comps.append(nc)
     out = Ali(comps=new_comps)
-    out.score = (
-        sc.score_range(out, 0, out.text_size, sp=sp) if new_comps else None
-    )
+    if new_comps:
+        # lazy: most truncated blocks are re-truncated or consumed by
+        # the next overlap DP before anyone reads the score (the write
+        # path reads it and pays the one rescore then)
+        out.set_lazy_score(
+            lambda: sc.score_range(out, 0, out.text_size, sp=sp)
+        )
     return out
 
 

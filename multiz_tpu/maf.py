@@ -155,9 +155,14 @@ class Comp:
 
 
 class Ali:
-    """One MAF block (struct mafAli, maf.h:29-37)."""
+    """One MAF block (struct mafAli, maf.h:29-37).
 
-    __slots__ = ("comps", "score")
+    ``score`` may be LAZY (``set_lazy_score``): the merge scan truncates
+    blocks repeatedly (keep_ali) and the O(rows^2 * len) sum-of-pairs
+    rescore is only observable if the block is eventually written — a
+    block truncated k times pays one scoring instead of k."""
+
+    __slots__ = ("comps", "_score", "_score_fn")
 
     def __init__(
         self,
@@ -165,7 +170,28 @@ class Ali:
         score: Optional[float] = None,  # None <=> reference (double)MIN_INT
     ):
         self.comps = [] if comps is None else comps
-        self.score = score
+        self._score = score
+        self._score_fn = None
+
+    @property
+    def score(self) -> Optional[float]:
+        fn = self._score_fn
+        if fn is not None:
+            self._score_fn = None
+            self._score = fn()
+        return self._score
+
+    @score.setter
+    def score(self, v: Optional[float]) -> None:
+        self._score = v
+        self._score_fn = None
+
+    def set_lazy_score(self, fn) -> None:
+        """Defer scoring until ``score`` is first read. The callable
+        must capture state that no later code mutates (keep_ali outputs
+        qualify: fresh Ali, comps never edited afterwards)."""
+        self._score = None
+        self._score_fn = fn
 
     @property
     def text_size(self) -> int:

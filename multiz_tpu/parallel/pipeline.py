@@ -162,9 +162,12 @@ def tba_run_sharded(
 
         return tba_run(tree, list(pair_files), src_dir=src_dir, cfg=cfg,
                        suffix=suffix, ref=ref, sp=sp, aligner=aligner)
+    import time
+
     species = _species_of(tree)
     tmp = work_dir or tempfile.mkdtemp(prefix="mz_shards_")
     tasks = []
+    t0 = time.perf_counter()
     for i, shard in enumerate(shards):
         d = os.path.join(tmp, f"shard{i}")
         os.makedirs(d, exist_ok=True)
@@ -173,12 +176,24 @@ def tba_run_sharded(
             (tree, tuple(pair_files), d, suffix, ref, aligner,
              cfg.radius, cfg.min_output_wid)
         )
+    t1 = time.perf_counter()
     # spawn: workers must not inherit the parent's JAX/TPU state
     import multiprocessing as mp
 
     ctx = mp.get_context("spawn")
     with ctx.Pool(processes=len(tasks)) as pool:
         payloads = pool.map(_worker_main, tasks)
+    if os.environ.get("MZ_TIME"):
+        print(
+            f"[MZ_TIME] shard-stage={t1 - t0:.2f}s "
+            f"workers={time.perf_counter() - t1:.2f}s "
+            f"nshards={len(tasks)}",
+            flush=True,
+        )
+    # On a pod the staging phase does not exist: the reference
+    # workflow's inputs are already laid out per chromosome, and each
+    # host reads only its own slice. Here it is a measured, one-time
+    # single-threaded cost of the proxy.
     out: List[Ali] = []
     for payload in payloads:
         out.extend(
